@@ -1,0 +1,299 @@
+"""Lie-group operations on SO(3), SE(3), Sim(3).
+
+Replaces the reference's scattered SO3 utilities (ExpSO3/LogSO3/
+RightJacobianSO3, src/ImuTypes.cc:30-151) and the g2o SE3Quat/Sim3 types
+(Thirdparty/g2o) with pure-jnp, vmappable, differentiable functions.
+
+Conventions: rotations are 3x3 matrices; SE(3) is (R, t); Sim(3) is
+(R, t, s).  Tangent ordering for SE(3) is (rho, phi) = (translation,
+rotation), matching the right-multiplicative update T * Exp(xi) used by
+the solver.  All ops are Taylor-guarded near theta=0 so gradients are
+finite everywhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def hat(w):
+    """so(3) hat: (...,3) -> (...,3,3)."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    z = jnp.zeros_like(wx)
+    return jnp.stack(
+        [
+            jnp.stack([z, -wz, wy], -1),
+            jnp.stack([wz, z, -wx], -1),
+            jnp.stack([-wy, wx, z], -1),
+        ],
+        -2,
+    )
+
+
+def vee(W):
+    """Inverse of hat: (...,3,3) -> (...,3)."""
+    return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], -1)
+
+
+def _sin_over_x(x):
+    """sin(x)/x, Taylor-safe."""
+    x2 = x * x
+    small = 1.0 - x2 / 6.0 + x2 * x2 / 120.0
+    return jnp.where(jnp.abs(x) < 1e-4, small, jnp.sin(x) / jnp.where(jnp.abs(x) < 1e-4, 1.0, x))
+
+
+def _one_minus_cos_over_x2(x):
+    """(1-cos x)/x^2, Taylor-safe."""
+    x2 = x * x
+    small = 0.5 - x2 / 24.0 + x2 * x2 / 720.0
+    return jnp.where(jnp.abs(x) < 1e-4, small, (1.0 - jnp.cos(x)) / jnp.where(jnp.abs(x) < 1e-4, 1.0, x2))
+
+
+def so3_exp(w):
+    """Exponential map so(3) -> SO(3) (Rodrigues). (...,3) -> (...,3,3)."""
+    theta = jnp.linalg.norm(w, axis=-1)
+    W = hat(w)
+    a = _sin_over_x(theta)[..., None, None]
+    b = _one_minus_cos_over_x2(theta)[..., None, None]
+    I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return I + a * W + b * (W @ W)
+
+
+def so3_log(R):
+    """Log map SO(3) -> so(3). (...,3,3) -> (...,3).
+
+    Via the Shepperd quaternion (rot_to_quat), which is numerically stable
+    in every regime including theta ~ pi; then w = 2 atan2(|v|, qw) v/|v|
+    with a Taylor guard at |v| ~ 0.
+    """
+    q = rot_to_quat(R)  # (w, x, y, z), w >= 0
+    qw = q[..., 0]
+    v = q[..., 1:]
+    nv = jnp.linalg.norm(v, axis=-1)
+    theta = 2.0 * jnp.arctan2(nv, qw)
+    small = nv < 1e-6
+    # factor = theta / nv; Taylor for nv->0 (qw ~ 1): 2/qw * (1 - nv^2/(3 qw^2))
+    safe_nv = jnp.where(small, 1.0, nv)
+    safe_qw = jnp.maximum(qw, _EPS)
+    factor = jnp.where(
+        small,
+        2.0 / safe_qw * (1.0 - nv * nv / (3.0 * safe_qw * safe_qw)),
+        theta / safe_nv,
+    )
+    return factor[..., None] * v
+
+
+def so3_right_jacobian(w):
+    """Right Jacobian of SO(3) (reference: RightJacobianSO3, ImuTypes.cc:119)."""
+    theta = jnp.linalg.norm(w, axis=-1)
+    W = hat(w)
+    b = _one_minus_cos_over_x2(theta)
+    # (theta - sin theta)/theta^3, Taylor-safe
+    t2 = theta * theta
+    small_c = 1.0 / 6.0 - t2 / 120.0
+    safe_t3 = jnp.where(theta < 1e-4, 1.0, theta * t2)
+    c = jnp.where(theta < 1e-4, small_c, (theta - jnp.sin(theta)) / safe_t3)
+    I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return I - b[..., None, None] * W + c[..., None, None] * (W @ W)
+
+
+def so3_right_jacobian_inv(w):
+    """Inverse right Jacobian (reference: InverseRightJacobianSO3, ImuTypes.cc:135)."""
+    theta = jnp.linalg.norm(w, axis=-1)
+    W = hat(w)
+    t2 = theta * theta
+    # 1/theta^2 - (1+cos)/(2 theta sin); Taylor: 1/12 + theta^2/720
+    small = 1.0 / 12.0 + t2 / 720.0
+    safe_t2 = jnp.where(theta < 1e-4, 1.0, t2)
+    safe_sin = jnp.where(theta < 1e-4, 1.0, theta * jnp.sin(theta))
+    generic = 1.0 / safe_t2 - (1.0 + jnp.cos(theta)) / (2.0 * safe_sin)
+    c = jnp.where(theta < 1e-4, small, generic)
+    I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return I + 0.5 * W + c[..., None, None] * (W @ W)
+
+
+def normalize_rotation(R):
+    """Project a near-rotation onto SO(3) via SVD (reference: NormalizeRotation,
+    ImuTypes.cc:146)."""
+    U, _, Vt = jnp.linalg.svd(R)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.concatenate(
+        [jnp.ones(R.shape[:-2] + (2,), R.dtype), det[..., None]], axis=-1
+    )
+    return (U * D[..., None, :]) @ Vt
+
+
+# ---------------------------------------------------------------- SE(3)
+
+
+def se3_exp(xi):
+    """se(3) -> SE(3).  xi = (rho, phi): (...,6) -> (R (...,3,3), t (...,3))."""
+    rho, phi = xi[..., :3], xi[..., 3:]
+    R = so3_exp(phi)
+    V = so3_left_jacobian(phi)
+    t = jnp.einsum("...ij,...j->...i", V, rho)
+    return R, t
+
+
+def so3_left_jacobian(w):
+    """Left Jacobian J_l(w) = J_r(-w)."""
+    return so3_right_jacobian(-w)
+
+
+def se3_log(R, t):
+    """SE(3) -> se(3): (...,6) with (rho, phi) ordering."""
+    phi = so3_log(R)
+    Vinv = so3_left_jacobian_inv(phi)
+    rho = jnp.einsum("...ij,...j->...i", Vinv, t)
+    return jnp.concatenate([rho, phi], axis=-1)
+
+
+def so3_left_jacobian_inv(w):
+    return so3_right_jacobian_inv(-w)
+
+
+def se3_inverse(R, t):
+    Rt = jnp.swapaxes(R, -1, -2)
+    return Rt, -jnp.einsum("...ij,...j->...i", Rt, t)
+
+
+def se3_compose(Ra, ta, Rb, tb):
+    """(Ra,ta) * (Rb,tb)."""
+    return Ra @ Rb, jnp.einsum("...ij,...j->...i", Ra, tb) + ta
+
+
+def se3_apply(R, t, p):
+    """Transform points p (...,3)."""
+    return jnp.einsum("...ij,...j->...i", R, p) + t
+
+
+def se3_matrix(R, t):
+    """(R,t) -> 4x4 homogeneous matrix."""
+    bottom = jnp.zeros(R.shape[:-2] + (1, 4), R.dtype).at[..., 0, 3].set(1.0)
+    top = jnp.concatenate([R, t[..., None]], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_from_matrix(T):
+    return T[..., :3, :3], T[..., :3, 3]
+
+
+# ---------------------------------------------------------------- Sim(3)
+
+
+def sim3_apply(R, t, s, p):
+    return s[..., None] * jnp.einsum("...ij,...j->...i", R, p) + t
+
+
+def sim3_inverse(R, t, s):
+    Rt = jnp.swapaxes(R, -1, -2)
+    s_inv = 1.0 / s
+    return Rt, -s_inv[..., None] * jnp.einsum("...ij,...j->...i", Rt, t), s_inv
+
+
+def sim3_compose(Ra, ta, sa, Rb, tb, sb):
+    """(Ra,ta,sa) * (Rb,tb,sb): x -> sa Ra (sb Rb x + tb) + ta."""
+    return (
+        Ra @ Rb,
+        sa[..., None] * jnp.einsum("...ij,...j->...i", Ra, tb) + ta,
+        sa * sb,
+    )
+
+
+def sim3_exp(xi):
+    """sim(3) -> Sim(3).  xi = (rho, phi, sigma): (...,7).
+
+    Uses the closed-form W matrix (Strasdat's thesis) with Taylor guards.
+    """
+    rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
+    R = so3_exp(phi)
+    s = jnp.exp(sigma)
+    theta = jnp.linalg.norm(phi, axis=-1)
+    W = hat(phi)
+    I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), R.shape)
+
+    # Coefficients for V = A*I + B*W + C*W^2 with scale coupling.
+    # Following Sophus Sim3 exp: see sophus/sim3.hpp logic.
+    eps = 1e-5
+    s_small = jnp.abs(sigma) < eps
+    t_small = theta < eps
+    safe_sigma = jnp.where(s_small, 1.0, sigma)
+    safe_theta = jnp.where(t_small, 1.0, theta)
+    theta2 = theta * theta
+
+    # A = (s-1)/sigma  (sigma->0: 1)
+    A = jnp.where(s_small, 1.0 + 0.5 * sigma, (s - 1.0) / safe_sigma)
+
+    c = jnp.cos(theta)
+    si = jnp.sin(theta)
+    # generic both:
+    a_gen = s * si
+    b_gen = s * c
+    denom = sigma * sigma + theta2
+    safe_denom = jnp.where((s_small & t_small), 1.0, denom)
+    B_gen = (a_gen * sigma + (1.0 - b_gen) * theta) / (safe_theta * safe_denom)
+    C_gen = (A - (b_gen - 1.0) * sigma / safe_denom - a_gen * theta / safe_denom) / jnp.where(
+        t_small, 1.0, theta2
+    )
+    # sigma small, theta generic:
+    B_s0 = _one_minus_cos_over_x2(theta)
+    # (theta - sin)/theta^3:
+    C_s0 = jnp.where(
+        t_small,
+        1.0 / 6.0,
+        (theta - si) / jnp.where(t_small, 1.0, theta2 * safe_theta),
+    )
+    # theta small, sigma generic:
+    B_t0 = jnp.where(
+        s_small, 0.5, ((sigma - 1.0) * s + 1.0) / (safe_sigma * safe_sigma)
+    )
+    C_t0 = jnp.where(
+        s_small,
+        1.0 / 6.0,
+        ((0.5 * sigma * sigma - sigma + 1.0) * s - 1.0)
+        / (safe_sigma * safe_sigma * safe_sigma),
+    )
+    B = jnp.where(t_small, B_t0, jnp.where(s_small, B_s0, B_gen))
+    C = jnp.where(t_small, C_t0, jnp.where(s_small, C_s0, C_gen))
+    V = A[..., None, None] * I + B[..., None, None] * W + C[..., None, None] * (W @ W)
+    t = jnp.einsum("...ij,...j->...i", V, rho)
+    return R, t, s
+
+
+def quat_to_rot(q):
+    """Unit quaternion (w,x,y,z) -> rotation matrix."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        -2,
+    )
+
+
+def rot_to_quat(R):
+    """Rotation matrix -> unit quaternion (w,x,y,z), w>=0.
+
+    Branch-free Shepperd-style selection of the most stable component.
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+    # Four candidate quaternions (unnormalised), one per pivot.
+    qw = jnp.stack([1.0 + tr, m21 - m12, m02 - m20, m10 - m01], -1)
+    qx = jnp.stack([m21 - m12, 1.0 + m00 - m11 - m22, m01 + m10, m02 + m20], -1)
+    qy = jnp.stack([m02 - m20, m01 + m10, 1.0 - m00 + m11 - m22, m12 + m21], -1)
+    qz = jnp.stack([m10 - m01, m02 + m20, m12 + m21, 1.0 - m00 - m11 + m22], -1)
+    pivots = jnp.stack([1.0 + tr, 1.0 + m00 - m11 - m22, 1.0 - m00 + m11 - m22, 1.0 - m00 - m11 + m22], -1)
+    k = jnp.argmax(pivots, axis=-1)
+    cand = jnp.stack([qw, qx, qy, qz], -2)  # (...,4 pivot,4 comp)
+    q = jnp.take_along_axis(cand, k[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+    sgn = jnp.where(q[..., :1] < 0, -1.0, 1.0)
+    return q * sgn

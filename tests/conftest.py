@@ -1,0 +1,52 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set env vars before jax initialises (SURVEY.md §4: multi-device
+logic is validated with xla_force_host_platform_device_count, the piece
+the reference lacks entirely).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # the env globally sets axon (TPU tunnel)
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_PIC = "/root/reference/pic"
+
+
+@pytest.fixture(scope="session")
+def luna_gray():
+    """pic/luna.jpg as grayscale uint8 — the reference's main fixture."""
+    import cv2
+
+    img = cv2.imread(os.path.join(REFERENCE_PIC, "luna.jpg"), cv2.IMREAD_GRAYSCALE)
+    assert img is not None
+    return img
+
+
+@pytest.fixture(scope="session")
+def tum_pair():
+    """Two TUM-VI corridor frames (the matcher demo's fixture)."""
+    import cv2
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(REFERENCE_PIC, "TUM", "*", "*.png")))
+    if len(paths) < 2:
+        paths = sorted(
+            glob.glob(os.path.join(REFERENCE_PIC, "TUM", "**", "*.png"), recursive=True)
+        )
+    assert len(paths) >= 2, paths
+    a = cv2.imread(paths[0], cv2.IMREAD_GRAYSCALE)
+    b = cv2.imread(paths[1], cv2.IMREAD_GRAYSCALE)
+    return a, b
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
