@@ -37,28 +37,21 @@ def cv_round(x):
 
 def pyramid_sizes(w0: int, h0: int, n_levels: int, scale_factor: float) -> List[Tuple[int, int]]:
     """Per-level (w, h), using cvRound(dim * invScale) like the reference."""
-    inv = 1.0
-    sizes = []
-    for lvl in range(n_levels):
-        if lvl == 0:
-            sizes.append((w0, h0))
-        else:
-            sizes.append((int(cv_round(w0 * inv)), int(cv_round(h0 * inv))))
-        inv /= scale_factor
-    # note: reference computes invScale[l] = 1/scale^l applied to level-0 dims
+    # reference: invScale[l] = 1/scale^l applied to the level-0 dims
     inv_acc = [1.0 / (scale_factor ** l) for l in range(n_levels)]
-    return [
-        (int(cv_round(w0 * s)), int(cv_round(h0 * s))) for s in inv_acc
-    ]
+    return [(int(cv_round(w0 * s)), int(cv_round(h0 * s))) for s in inv_acc]
 
 
 def _interp_tables(src: int, dst: int):
     """OpenCV resize INTER_LINEAR offsets + 11-bit fixed-point weights."""
+    # Bit-exactness requires OpenCV's float32 weight math: fx is computed
+    # in double then CAST TO FLOAT32 before the fractional split, and the
+    # 2048-scale products are float32 (resize.cpp).
     scale = src / dst
     dx = np.arange(dst)
-    fx = (dx + 0.5) * scale - 0.5
+    fx = ((dx + 0.5) * scale - 0.5).astype(np.float32)
     sx = np.floor(fx).astype(np.int64)
-    fx = fx - sx
+    fx = (fx - sx).astype(np.float32)
     # boundary clamps (resize.cpp)
     low = sx < 0
     fx[low] = 0.0
@@ -66,8 +59,9 @@ def _interp_tables(src: int, dst: int):
     high = sx >= src - 1
     fx[high] = 0.0
     sx[high] = src - 1
-    a0 = cv_round((1.0 - fx) * _COEF_SCALE).astype(np.int32)
-    a1 = cv_round(fx * _COEF_SCALE).astype(np.int32)
+    csc = np.float32(_COEF_SCALE)
+    a0 = cv_round(((np.float32(1.0) - fx) * csc).astype(np.float32)).astype(np.int32)
+    a1 = cv_round((fx * csc).astype(np.float32)).astype(np.int32)
     s1 = np.minimum(sx + 1, src - 1)
     return sx, s1, a0, a1
 

@@ -14,6 +14,13 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The jaxtyping pytest plugin imports jax BEFORE this conftest runs, which
+# snapshots JAX_PLATFORMS=axon (the TPU tunnel) into jax.config.  Override
+# the already-imported config so tests really run on the virtual CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
