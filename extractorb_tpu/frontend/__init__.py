@@ -1,1 +1,1 @@
-from . import pyramid, blur, fast  # noqa: F401
+from . import pyramid, blur, fast, orientation, brief, octree, extractor  # noqa: F401

@@ -1,0 +1,135 @@
+"""Orientation + BRIEF descriptor parity tests.
+
+Oracles: cv2.fastAtan2 for the angle polynomial, an independent numpy
+re-implementation of the IC_Angle moment loop (reference
+ORBextractor.cc:75-102), and cv2.ORB.compute for descriptors (the same
+computeOrbDescriptor code the reference copied from OpenCV)."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from extractorb_tpu.frontend import (
+    blur as fblur,
+    brief as fbrief,
+    extractor as fext,
+    fast as ffast,
+    orientation as forient,
+    pyramid as fpyr,
+)
+from extractorb_tpu.config import ORBConfig
+
+
+def test_fast_atan2_matches_cv2(rng):
+    ys = rng.normal(size=512) * 1000
+    xs = rng.normal(size=512) * 1000
+    got = np.asarray(forient.fast_atan2_deg(jnp.asarray(ys), jnp.asarray(xs)))
+    exp = np.array([cv2.fastAtan2(float(y), float(x)) for y, x in zip(ys, xs)])
+    np.testing.assert_allclose(got, exp, atol=2e-3)
+
+
+def test_umax_reference_values():
+    # the reference ctor produces this exact table for HALF_PATCH_SIZE=15
+    assert list(forient.compute_umax()) == [
+        15, 15, 15, 15, 14, 14, 14, 13, 13, 12, 11, 10, 9, 8, 6, 3
+    ]
+
+
+def ic_angle_numpy(img, x, y):
+    """Literal reimplementation of the reference IC_Angle loop."""
+    umax = forient.compute_umax()
+    m01 = 0
+    m10 = 0
+    for u in range(-15, 16):
+        m10 += u * int(img[y, x + u])
+    for v in range(1, 16):
+        v_sum = 0
+        d = umax[v]
+        for u in range(-d, d + 1):
+            plus = int(img[y + v, x + u])
+            minus = int(img[y - v, x + u])
+            v_sum += plus - minus
+            m10 += u * (plus + minus)
+        m01 += v * v_sum
+    return cv2.fastAtan2(float(m01), float(m10))
+
+
+def test_ic_angle_matches_loop(luna_gray):
+    bordered = fpyr.add_border_reflect101(jnp.asarray(luna_gray), 19)
+    keep, score = ffast.detect_keypoints(bordered, 20, 7)
+    xy, resp, valid = ffast.collect_keypoints(keep, score, 128)
+    angles = np.asarray(forient.ic_angle(bordered, xy, valid))
+    xy = np.asarray(xy)
+    for i in range(int(np.asarray(valid).sum())):
+        x, y = xy[i]
+        exp = ic_angle_numpy(luna_gray, int(x), int(y))
+        assert abs(angles[i] - exp) < 2e-3, ((x, y), angles[i], exp)
+
+
+def test_descriptors_close_to_cv2(luna_gray):
+    """cv2.ORB.compute with our keypoints+angles should agree with our
+    descriptors up to the blur deviation (a few bits of 256)."""
+    bordered = fpyr.add_border_reflect101(jnp.asarray(luna_gray), 19)
+    keep, score = ffast.detect_keypoints(bordered, 20, 7)
+    xy, resp, valid = ffast.collect_keypoints(keep, score, 512)
+    angles = forient.ic_angle(bordered, xy, valid)
+    blurred = fblur.blur_level(bordered)
+    bits = fbrief.compute_descriptors(blurred, xy, angles, valid)
+    desc = np.asarray(fbrief.pack_bits_u8(bits))
+
+    xy_np, ang_np, val_np = map(np.asarray, (xy, angles, valid))
+    n = int(val_np.sum())
+    # keep keypoints far from the border so cv2's own boundary handling
+    # (it works on its own bordered copy) agrees
+    sel = [
+        i for i in range(n)
+        if 35 <= xy_np[i, 0] < luna_gray.shape[1] - 35
+        and 35 <= xy_np[i, 1] < luna_gray.shape[0] - 35
+    ]
+    kps = [
+        cv2.KeyPoint(float(xy_np[i, 0]), float(xy_np[i, 1]), 31.0,
+                     float(ang_np[i]), float(0), 0)
+        for i in sel
+    ]
+    orb = cv2.ORB_create(nfeatures=len(kps))
+    kps_out, desc_cv = orb.compute(luna_gray, kps)
+    assert len(kps_out) == len(sel)
+    ham = []
+    for j, i in enumerate(sel):
+        h = bin(int.from_bytes(bytes(desc[i]), "big")
+                ^ int.from_bytes(bytes(desc_cv[j]), "big")).count("1")
+        ham.append(h)
+    ham = np.array(ham)
+    assert ham.mean() < 6.0, (ham.mean(), ham.max())
+    assert np.median(ham) <= 2
+
+
+def test_extractor_end_to_end_host(luna_gray):
+    cfg = ORBConfig(n_features=1000)
+    ext = fext.ORBExtractor(cfg, octree="host")
+    feats = ext(jnp.asarray(luna_gray))
+    n = int(feats.count())
+    assert 900 <= n <= 1200, n
+    v = np.asarray(feats.valid)
+    octv = np.asarray(feats.octave)[v]
+    # all 8 levels represented, higher levels fewer features
+    assert set(octv) == set(range(8))
+    xy = np.asarray(feats.xy)[v]
+    assert xy[:, 0].max() < luna_gray.shape[1] * 1.01
+    assert xy[:, 0].min() >= 0
+
+
+def test_extractor_end_to_end_device(luna_gray):
+    cfg = ORBConfig(n_features=1000)
+    ext = fext.ORBExtractor(cfg, octree="device")
+    feats = ext(jnp.asarray(luna_gray))
+    n = int(feats.count())
+    assert 800 <= n <= 1600, n
+    # device octree should produce a similar spatial distribution: compare
+    # per-level counts with host mode
+    ext_h = fext.ORBExtractor(cfg, octree="host")
+    fh = ext_h(jnp.asarray(luna_gray))
+    for lvl in range(8):
+        cd = int((np.asarray(feats.octave)[np.asarray(feats.valid)] == lvl).sum())
+        ch = int((np.asarray(fh.octave)[np.asarray(fh.valid)] == lvl).sum())
+        assert cd >= 0.5 * ch, (lvl, cd, ch)
