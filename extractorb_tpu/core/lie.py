@@ -38,6 +38,19 @@ def vee(W):
     return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], -1)
 
 
+def _safe_theta(w):
+    """(theta2, theta_safe, small): differentiation-safe angle helpers.
+
+    theta_safe equals theta where theta >= 1e-4 and 1.0 in the small
+    branch, with the sqrt argument itself guarded so jacfwd/jacrev never
+    see d(sqrt)/dx at 0 (which would poison gradients with NaN).
+    """
+    theta2 = jnp.sum(w * w, axis=-1)
+    small = theta2 < 1e-8
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    return theta2, theta, small
+
+
 def _sin_over_x(x):
     """sin(x)/x, Taylor-safe."""
     x2 = x * x
@@ -53,13 +66,15 @@ def _one_minus_cos_over_x2(x):
 
 
 def so3_exp(w):
-    """Exponential map so(3) -> SO(3) (Rodrigues). (...,3) -> (...,3,3)."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    """Exponential map so(3) -> SO(3) (Rodrigues). (...,3) -> (...,3,3).
+
+    Differentiable everywhere including w = 0 (jvp-safe guards)."""
+    theta2, theta, small = _safe_theta(w)
     W = hat(w)
-    a = _sin_over_x(theta)[..., None, None]
-    b = _one_minus_cos_over_x2(theta)[..., None, None]
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return I + a * W + b * (W @ W)
+    return I + a[..., None, None] * W + b[..., None, None] * (W @ W)
 
 
 def so3_log(R):
@@ -87,30 +102,32 @@ def so3_log(R):
 
 
 def so3_right_jacobian(w):
-    """Right Jacobian of SO(3) (reference: RightJacobianSO3, ImuTypes.cc:119)."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    """Right Jacobian of SO(3) (reference: RightJacobianSO3, ImuTypes.cc:119).
+
+    jvp-safe at w = 0."""
+    theta2, theta, small = _safe_theta(w)
     W = hat(w)
-    b = _one_minus_cos_over_x2(theta)
-    # (theta - sin theta)/theta^3, Taylor-safe
-    t2 = theta * theta
-    small_c = 1.0 / 6.0 - t2 / 120.0
-    safe_t3 = jnp.where(theta < 1e-4, 1.0, theta * t2)
-    c = jnp.where(theta < 1e-4, small_c, (theta - jnp.sin(theta)) / safe_t3)
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
+    c = jnp.where(
+        small,
+        1.0 / 6.0 - theta2 / 120.0,
+        (theta - jnp.sin(theta)) / (safe_t2 * theta),
+    )
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return I - b[..., None, None] * W + c[..., None, None] * (W @ W)
 
 
 def so3_right_jacobian_inv(w):
-    """Inverse right Jacobian (reference: InverseRightJacobianSO3, ImuTypes.cc:135)."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    """Inverse right Jacobian (reference: InverseRightJacobianSO3, ImuTypes.cc:135).
+
+    jvp-safe at w = 0."""
+    theta2, theta, small = _safe_theta(w)
     W = hat(w)
-    t2 = theta * theta
-    # 1/theta^2 - (1+cos)/(2 theta sin); Taylor: 1/12 + theta^2/720
-    small = 1.0 / 12.0 + t2 / 720.0
-    safe_t2 = jnp.where(theta < 1e-4, 1.0, t2)
-    safe_sin = jnp.where(theta < 1e-4, 1.0, theta * jnp.sin(theta))
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    safe_sin = jnp.where(small, 1.0, theta * jnp.sin(theta))
     generic = 1.0 / safe_t2 - (1.0 + jnp.cos(theta)) / (2.0 * safe_sin)
-    c = jnp.where(theta < 1e-4, small, generic)
+    c = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, generic)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return I + 0.5 * W + c[..., None, None] * (W @ W)
 

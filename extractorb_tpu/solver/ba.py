@@ -1,0 +1,217 @@
+"""Bundle adjustment: the g2o replacement.
+
+Replaces the reference's Optimizer g2o layer (src/Optimizer.cc:62
+BundleAdjustment, :1694 LocalBundleAdjustment, :54 GlobalBundleAdjustemnt
+[sic]) with one jit Levenberg-Marquardt solver over (poses, points).
+
+TPU design: the sparse normal equations are never materialised.  Each LM
+step runs preconditioned conjugate gradients with a matrix-free
+Hessian-vector product evaluated over the observation COO via gathers +
+segment-sums (all MXU/VPU-regular), with a block-Jacobi preconditioner
+(batched 6x6 / 3x3 block inverses — the same blocks a Schur solver would
+form).  This is the landmark-elimination trade re-expressed for TPU
+regularity (SURVEY.md §7.4): identical fixed point, no irregular sparse
+factorisation.  The same machinery shards over a device mesh by psum-ing
+the segment sums (dist/sharded_ba.py).
+
+Observations are padded COO arrays with a validity mask; fixed
+keyframes/points are masked out of the update (g2o's setFixed).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from .robust import CHI2_MONO, DELTA_MONO, huber_weight
+
+
+class BAProblem(NamedTuple):
+    R: jnp.ndarray            # (K,3,3) world->cam
+    t: jnp.ndarray            # (K,3)
+    points: jnp.ndarray       # (P,3)
+    obs_kf: jnp.ndarray       # (O,) int32
+    obs_mp: jnp.ndarray       # (O,) int32
+    obs_uv: jnp.ndarray       # (O,2) float32
+    inv_sigma2: jnp.ndarray   # (O,)
+    obs_valid: jnp.ndarray    # (O,) bool
+    fixed_kf: jnp.ndarray     # (K,) bool
+    fixed_mp: jnp.ndarray     # (P,) bool
+
+
+class BAResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    points: jnp.ndarray
+    inliers: jnp.ndarray      # (O,) bool after chi2 classification
+    cost: jnp.ndarray
+
+
+def _obs_residual_jac(R, t, points, p: BAProblem, project):
+    """Residuals (O,2) + Jacobians wrt pose tangent (O,2,6) and point
+    (O,2,3), evaluated at the current estimate."""
+    Rk = R[p.obs_kf]
+    tk = t[p.obs_kf]
+    pw = points[p.obs_mp]
+    uv = p.obs_uv
+
+    def r_fn(delta, dp, Rk1, tk1, pw1, uv1):
+        dR, dt = lie.se3_exp(delta)
+        Rn = Rk1 @ dR
+        tn = Rk1 @ dt + tk1
+        pc = Rn @ (pw1 + dp) + tn
+        return uv1 - project(pc)
+
+    zero6 = jnp.zeros(6, points.dtype)
+    zero3 = jnp.zeros(3, points.dtype)
+
+    def per_obs(Rk1, tk1, pw1, uv1):
+        r = r_fn(zero6, zero3, Rk1, tk1, pw1, uv1)
+        Jp = jax.jacfwd(r_fn, argnums=0)(zero6, zero3, Rk1, tk1, pw1, uv1)
+        Jl = jax.jacfwd(r_fn, argnums=1)(zero6, zero3, Rk1, tk1, pw1, uv1)
+        return r, Jp, Jl
+
+    return jax.vmap(per_obs)(Rk, tk, pw, uv)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def optimize(
+    p: BAProblem,
+    project,
+    n_iters: int = 10,
+    cg_iters: int = 40,
+    use_huber: bool = True,
+    chi2_outlier: float = CHI2_MONO,
+) -> BAResult:
+    """LM bundle adjustment.  project: cam point (3,) -> pixel (2,)."""
+    K = p.R.shape[0]
+    P = p.points.shape[0]
+    dtype = p.points.dtype
+
+    free_kf = (~p.fixed_kf).astype(dtype)[:, None]      # (K,1)
+    free_mp = (~p.fixed_mp).astype(dtype)[:, None]      # (P,1)
+
+    def build(R, t, points):
+        r, Jp, Jl = _obs_residual_jac(R, t, points, p, project)
+        chi2 = jnp.sum(r * r, -1) * p.inv_sigma2
+        w = huber_weight(chi2, DELTA_MONO) if use_huber else jnp.ones_like(chi2)
+        w = w * p.inv_sigma2 * p.obs_valid.astype(dtype)
+        return r, Jp, Jl, w, chi2
+
+    def lm_step(state, _):
+        R, t, points, lam, cost_prev = state
+        r, Jp, Jl, w, chi2 = build(R, t, points)
+        Jpw = Jp * w[:, None, None]
+        Jlw = Jl * w[:, None, None]
+
+        # gradient (negative: we solve H d = b with b = J^T W r)
+        g_pose = jnp.zeros((K, 6), dtype).at[p.obs_kf].add(
+            jnp.einsum("oif,oi->of", Jpw, r)
+        ) * free_kf
+        g_point = jnp.zeros((P, 3), dtype).at[p.obs_mp].add(
+            jnp.einsum("oif,oi->of", Jlw, r)
+        ) * free_mp
+
+        # block diagonals (also the Jacobi preconditioner / LM damping)
+        Hpp = jnp.zeros((K, 6, 6), dtype).at[p.obs_kf].add(
+            jnp.einsum("oif,oig->ofg", Jpw, Jp)
+        )
+        Hll = jnp.zeros((P, 3, 3), dtype).at[p.obs_mp].add(
+            jnp.einsum("oif,oig->ofg", Jlw, Jl)
+        )
+
+        lamI6 = lam * jnp.eye(6, dtype=dtype)
+        lamI3 = lam * jnp.eye(3, dtype=dtype)
+        Mp = jnp.linalg.inv(Hpp + lamI6[None])   # (K,6,6)
+        Ml = jnp.linalg.inv(Hll + lamI3[None])   # (P,3,3)
+
+        def hv(vp, vl):
+            """(H + lam I) (vp, vl), matrix-free over the COO."""
+            vp = vp * free_kf
+            vl = vl * free_mp
+            u = jnp.einsum("oif,of->oi", Jp, vp[p.obs_kf]) + jnp.einsum(
+                "oif,of->oi", Jl, vl[p.obs_mp]
+            )
+            uw = u * w[:, None]
+            hp = jnp.zeros((K, 6), dtype).at[p.obs_kf].add(
+                jnp.einsum("oif,oi->of", Jp, uw)
+            ) * free_kf
+            hl = jnp.zeros((P, 3), dtype).at[p.obs_mp].add(
+                jnp.einsum("oif,oi->of", Jl, uw)
+            ) * free_mp
+            return hp + lam * vp, hl + lam * vl
+
+        def precond(vp, vl):
+            return (
+                jnp.einsum("kfg,kg->kf", Mp, vp) * free_kf,
+                jnp.einsum("pfg,pg->pf", Ml, vl) * free_mp,
+            )
+
+        # PCG
+        bp, bl = g_pose, g_point
+
+        def dot(a, b):
+            return jnp.sum(a[0] * b[0]) + jnp.sum(a[1] * b[1])
+
+        x = (jnp.zeros_like(bp), jnp.zeros_like(bl))
+        rr = (bp, bl)
+        z = precond(*rr)
+        pdir = z
+        rz = dot(rr, z)
+
+        def cg_body(carry, _):
+            x, rr, pdir, rz = carry
+            Ap = hv(*pdir)
+            alpha = rz / jnp.maximum(dot(pdir, Ap), 1e-20)
+            x = (x[0] + alpha * pdir[0], x[1] + alpha * pdir[1])
+            rr = (rr[0] - alpha * Ap[0], rr[1] - alpha * Ap[1])
+            z = precond(*rr)
+            rz_new = dot(rr, z)
+            beta = rz_new / jnp.maximum(rz, 1e-20)
+            pdir = (z[0] + beta * pdir[0], z[1] + beta * pdir[1])
+            return (x, rr, pdir, rz_new), None
+
+        (x, _, _, _), _ = jax.lax.scan(
+            cg_body, (x, rr, pdir, rz), None, length=cg_iters
+        )
+        # r = obs - pred and J = dr/dx, so the GN step is -H^-1 J^T W r
+        dp, dl = -x[0], -x[1]
+
+        # apply retraction
+        dR, dt = jax.vmap(lie.se3_exp)(dp)
+        Rn = R @ dR
+        tn = jnp.einsum("kij,kj->ki", R, dt) + t
+        pn = points + dl
+
+        def total_cost(Rc, tc, pc):
+            rr2, _, _ = _obs_residual_jac(Rc, tc, pc, p, project)
+            c2 = jnp.sum(rr2 * rr2, -1) * p.inv_sigma2
+            if use_huber:
+                d2 = DELTA_MONO * DELTA_MONO
+                rho = jnp.where(c2 <= d2, c2, 2.0 * DELTA_MONO * jnp.sqrt(c2) - d2)
+            else:
+                rho = c2
+            return jnp.sum(jnp.where(p.obs_valid, rho, 0.0))
+
+        c_new = total_cost(Rn, tn, pn)
+        c_old = total_cost(R, t, points)
+        better = c_new < c_old
+        R = jnp.where(better, Rn, R)
+        t = jnp.where(better, tn, t)
+        points = jnp.where(better, pn, points)
+        lam = jnp.where(better, lam * 0.5, lam * 4.0)
+        return (R, t, points, lam, jnp.minimum(c_new, c_old)), None
+
+    lam0 = jnp.asarray(1e-4, dtype)
+    state = (p.R, p.t, p.points, lam0, jnp.asarray(jnp.inf, dtype))
+    state, _ = jax.lax.scan(lm_step, state, None, length=n_iters)
+    R, t, points, _, cost = state
+
+    r, _, _ = _obs_residual_jac(R, t, points, p, project)
+    chi2 = jnp.sum(r * r, -1) * p.inv_sigma2
+    inliers = p.obs_valid & (chi2 <= chi2_outlier)
+    return BAResult(R=R, t=t, points=points, inliers=inliers, cost=cost)

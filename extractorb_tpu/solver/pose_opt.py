@@ -1,0 +1,125 @@
+"""Motion-only bundle adjustment (pose optimization).
+
+Replaces Optimizer::PoseOptimization (reference:
+src/Optimizer.cc:854-1168): one SE3 vertex, unary mono reprojection
+edges with Huber(sqrt(5.991)), 4 rounds x 10 LM iterations with chi2
+outlier re-classification between rounds and the robust kernel dropped
+after round 3 (the reference's it==2 setRobustKernel(0)).
+
+TPU design: the whole optimisation is one jit: residuals/Jacobians for
+all (padded) observations come from jax.jacfwd of the projection through
+a right-multiplicative se3 retraction; the 6x6 normal equations are a
+masked einsum (MXU) and the rounds/iterations are lax.scan — no
+data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from .robust import CHI2_MONO, DELTA_MONO, huber_weight
+
+
+class PoseOptResult(NamedTuple):
+    R: jnp.ndarray         # (3,3) world->camera
+    t: jnp.ndarray         # (3,)
+    inliers: jnp.ndarray   # (N,) bool
+    n_inliers: jnp.ndarray  # () int32
+
+
+def _residuals_and_jac(R, t, pts_w, obs_uv, project):
+    """r_i(delta) = obs - project((R,t) * Exp(delta) applied to p).
+
+    Returns residuals (N,2) and Jacobian d r / d delta (N,2,6) at delta=0.
+    """
+
+    def r_of_delta(delta, p, uv):
+        dR, dt = lie.se3_exp(delta)
+        Rn = R @ dR
+        tn = R @ dt + t
+        pc = Rn @ p + tn
+        return uv - project(pc)
+
+    def per_obs(p, uv):
+        zero = jnp.zeros(6, pts_w.dtype)
+        r = r_of_delta(zero, p, uv)
+        J = jax.jacfwd(r_of_delta)(zero, p, uv)
+        return r, J
+
+    return jax.vmap(per_obs)(pts_w, obs_uv)
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def optimize_pose(
+    R0, t0, pts_w, obs_uv, inv_sigma2, valid, project,
+    n_rounds: int = 4, n_iters: int = 10,
+):
+    """Run the reference's 4x10 robust pose optimisation.
+
+    project: camera-frame point (3,) -> pixel (2,) (static callable).
+    Returns PoseOptResult.  Invalid slots never contribute.
+    """
+    chi2_th = CHI2_MONO
+
+    def lm_iters(carry, use_huber):
+        R, t, active = carry
+
+        def one_iter(state, _):
+            R, t, lam = state
+            r, J = _residuals_and_jac(R, t, pts_w, obs_uv, project)
+            chi2 = jnp.sum(r * r, -1) * inv_sigma2
+            w = jnp.where(use_huber, huber_weight(chi2, DELTA_MONO), 1.0)
+            w = w * inv_sigma2 * active.astype(r.dtype)
+            Jw = J * w[:, None, None]
+            H = jnp.einsum("nio,nij->oj", Jw, J)
+            b = jnp.einsum("nio,ni->o", Jw, r)
+            # Levenberg damping on the diagonal
+            Hd = H + lam * jnp.diag(jnp.diag(H))
+            # r = obs - pred and J = dr/ddelta, so the GN step is -H^-1 b
+            delta = -jnp.linalg.solve(Hd + 1e-9 * jnp.eye(6, dtype=H.dtype), b)
+            dR, dt = lie.se3_exp(delta)
+            Rn = R @ dR
+            tn = R @ dt + t
+            # accept if cost decreased, else raise lambda (Levenberg)
+            def cost(Rc, tc):
+                rr, _ = _residuals_and_jac(Rc, tc, pts_w, obs_uv, project)
+                c2 = jnp.sum(rr * rr, -1) * inv_sigma2
+                d2 = DELTA_MONO * DELTA_MONO
+                rho = jnp.where(
+                    c2 <= d2, c2, 2.0 * DELTA_MONO * jnp.sqrt(c2) - d2
+                )
+                rho = jnp.where(use_huber, rho, c2)
+                return jnp.sum(jnp.where(active, rho, 0.0))
+
+            c_old = cost(R, t)
+            c_new = cost(Rn, tn)
+            better = c_new < c_old
+            R_out = jnp.where(better, Rn, R)
+            t_out = jnp.where(better, tn, t)
+            lam_out = jnp.where(better, lam * 0.5, lam * 4.0)
+            return (R_out, t_out, lam_out), None
+
+        (R, t, _), _ = jax.lax.scan(
+            one_iter, (R, t, jnp.asarray(1e-3, R.dtype)), None, length=n_iters
+        )
+        # outlier re-classification for the next round
+        r, _ = _residuals_and_jac(R, t, pts_w, obs_uv, project)
+        chi2 = jnp.sum(r * r, -1) * inv_sigma2
+        active = valid & (chi2 <= chi2_th)
+        return (R, t, active), None
+
+    state = (R0, t0, valid)
+    # rounds 1-3 with Huber, round 4 without (reference drops the kernel
+    # after round 3)
+    for rnd in range(n_rounds):
+        use_huber = jnp.asarray(rnd < 3)
+        state, _ = lm_iters(state, use_huber)
+    R, t, active = state
+    return PoseOptResult(
+        R=R, t=t, inliers=active, n_inliers=jnp.sum(active.astype(jnp.int32))
+    )
