@@ -158,3 +158,192 @@ def mutual_best_match(desc1, valid1, desc2, valid2, max_dist: int = TH_LOW):
     dmin = jnp.min(d, axis=1)
     ok = mutual & (dmin <= max_dist) & valid1
     return jnp.where(ok, best12, -1), dmin
+
+
+def _first_claim(best_idx, accept, n_kp):
+    """First-come conflict resolution: the smallest map-point index claims
+    a keypoint (the reference skips already-assigned keypoints, so earlier
+    map points win; ORBmatcher.cc:2028 region)."""
+    M = best_idx.shape[0]
+    mp_i = jnp.arange(M, dtype=jnp.int32)
+    winner = jnp.full((n_kp,), M, jnp.int32).at[
+        jnp.where(accept, best_idx, n_kp)
+    ].min(jnp.where(accept, mp_i, M), mode="drop")
+    return accept & (winner[best_idx] == mp_i)
+
+
+@functools.partial(jax.jit, static_argnums=(12, 13, 14))
+def search_by_projection_last_frame(
+    mp_pos, mp_desc, mp_valid, mp_octave, mp_angle,
+    R, t,
+    kp_xy, kp_desc, kp_octave, kp_angle, kp_valid_and_free,
+    project, scale_factors, img_wh,
+    th: float = 15.0,
+):
+    """SearchByProjection, track-with-motion-model variant (reference
+    ORBmatcher.cc:2028 region): project the last frame's map points with
+    the predicted pose, search a th*scale[lastOctave] window in levels
+    [lastOct-1, lastOct+1], keep best <= TH_HIGH, rotation-histogram
+    filter, first-come conflict resolution.
+
+    Returns matches (M,) int32: keypoint index per map point or -1.
+    """
+    M = mp_pos.shape[0]
+    N = kp_xy.shape[0]
+    scales = jnp.asarray(scale_factors, jnp.float32)
+
+    pc = jnp.einsum("ij,mj->mi", R, mp_pos) + t[None]
+    z_ok = pc[:, 2] > 0
+    uv = jax.vmap(project)(pc)
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < img_wh[0])
+        & (uv[:, 1] >= 0) & (uv[:, 1] < img_wh[1])
+    )
+
+    radius = th * scales[jnp.clip(mp_octave, 0, len(scale_factors) - 1)]
+    dx = jnp.abs(uv[:, 0:1] - kp_xy[None, :, 0])
+    dy = jnp.abs(uv[:, 1:2] - kp_xy[None, :, 1])
+    in_win = (dx < radius[:, None]) & (dy < radius[:, None])
+    lvl_ok = (kp_octave[None, :] >= (mp_octave - 1)[:, None]) & (
+        kp_octave[None, :] <= (mp_octave + 1)[:, None]
+    )
+    row_ok = mp_valid & z_ok & in_img
+    mask = in_win & lvl_ok & row_ok[:, None] & kp_valid_and_free[None, :]
+
+    dist = hamming_matrix(mp_desc, kp_desc)
+    INF = jnp.int32(1 << 20)
+    d = jnp.where(mask, dist, INF)
+    best = jnp.min(d, axis=1)
+    best_idx = jnp.argmin(d, axis=1)
+    accept = (best <= TH_HIGH) & row_ok
+
+    final = _first_claim(best_idx, accept, N)
+    rot_ok = rotation_consistency_mask(mp_angle, kp_angle[best_idx], accept)
+    final = final & rot_ok
+    return jnp.where(final, best_idx, -1)
+
+
+@functools.partial(jax.jit, static_argnums=(12, 13, 14))
+def search_by_projection_local_map(
+    mp_pos, mp_desc, mp_valid, mp_normal, mp_max_dist,
+    R, t,
+    kp_xy, kp_desc, kp_octave, kp_valid_and_free, kp_taken_dist_gate,
+    project, scale_factors, img_wh,
+    th: float = 1.0,
+    nn_ratio: float = 0.8,
+):
+    """SearchByProjection, track-local-map variant (reference
+    ORBmatcher.cc:44-216): frustum check, viewing-cos radius (2.5 or 4.0),
+    predicted scale from distance, levels [pred-1, pred], NN-ratio applied
+    only when best and second-best are on the same level, TH_HIGH gate.
+
+    Returns matches (M,) int32 keypoint index per map point or -1.
+    """
+    M = mp_pos.shape[0]
+    N = kp_xy.shape[0]
+    n_levels = len(scale_factors)
+    scales = jnp.asarray(scale_factors, jnp.float32)
+    log_scale = jnp.log(scales[1])
+
+    pc = jnp.einsum("ij,mj->mi", R, mp_pos) + t[None]
+    z_ok = pc[:, 2] > 0
+    uv = jax.vmap(project)(pc)
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < img_wh[0])
+        & (uv[:, 1] >= 0) & (uv[:, 1] < img_wh[1])
+    )
+
+    # viewing direction check (isInFrustum: cos(normal, view) >= 0.5)
+    Ow = -jnp.einsum("ji,j->i", R, t)  # camera centre in world
+    view = mp_pos - Ow[None]
+    dist3 = jnp.linalg.norm(view, axis=-1)
+    view_cos = jnp.sum(view * mp_normal, -1) / jnp.maximum(dist3, 1e-9)
+    frustum_ok = view_cos >= 0.5
+    # distance within scale-invariance region [0.8 min, 1.2 max]; minDist
+    # = maxDist / scale^(nlevels-1)
+    min_dist = mp_max_dist / scales[n_levels - 1]
+    dist_ok = (dist3 >= 0.8 * min_dist) & (dist3 <= 1.2 * mp_max_dist)
+
+    # predicted scale level (MapPoint::PredictScale)
+    ratio = mp_max_dist / jnp.maximum(dist3, 1e-9)
+    pred = jnp.ceil(jnp.log(ratio) / log_scale).astype(jnp.int32)
+    pred = jnp.clip(pred, 0, n_levels - 1)
+
+    radius = jnp.where(view_cos > 0.998, 2.5, 4.0) * scales[pred] * th
+
+    dx = jnp.abs(uv[:, 0:1] - kp_xy[None, :, 0])
+    dy = jnp.abs(uv[:, 1:2] - kp_xy[None, :, 1])
+    in_win = (dx < radius[:, None]) & (dy < radius[:, None])
+    lvl_ok = (kp_octave[None, :] >= (pred - 1)[:, None]) & (
+        kp_octave[None, :] <= pred[:, None]
+    )
+    row_ok = mp_valid & z_ok & in_img & frustum_ok & dist_ok
+    mask = in_win & lvl_ok & row_ok[:, None] & kp_valid_and_free[None, :]
+
+    dist = hamming_matrix(mp_desc, kp_desc)
+    INF = jnp.int32(1 << 20)
+    d = jnp.where(mask, dist, INF)
+    best = jnp.min(d, axis=1)
+    best_idx = jnp.argmin(d, axis=1)
+    d2 = d.at[jnp.arange(M), best_idx].set(INF)
+    second = jnp.min(d2, axis=1)
+    second_idx = jnp.argmin(d2, axis=1)
+    best_lvl = kp_octave[best_idx]
+    second_lvl = kp_octave[second_idx]
+    ratio_fail = (
+        (best_lvl == second_lvl)
+        & (best.astype(jnp.float32) > nn_ratio * second.astype(jnp.float32))
+        & (second < INF)
+    )
+    accept = (best <= TH_HIGH) & row_ok & ~ratio_fail
+    final = _first_claim(best_idx, accept, N)
+    return jnp.where(final, best_idx, -1)
+
+
+@jax.jit
+def search_for_triangulation(
+    desc1, xy1, octave1, free1,
+    desc2, xy2, octave2, free2,
+    F12, sigma2_levels,
+):
+    """ORBmatcher::SearchForTriangulation (reference ORBmatcher.cc:965):
+    match unassociated keypoints of two keyframes under the epipolar
+    constraint dist(kp2, F12^T kp1)^2 < 3.84 sigma2[octave2], best
+    distance <= TH_LOW, min-dist conflict resolution per kp2.
+
+    (The reference restricts candidates via shared BoW nodes — a speed
+    optimisation; the dense matrix covers the superset.)
+
+    Returns matches (N1,) int32 index into kf2 or -1.
+    """
+    N1 = xy1.shape[0]
+    N2 = xy2.shape[0]
+    dist = hamming_matrix(desc1, desc2)
+
+    # epipolar lines in image 2: l = F12^T p1 (reference computes
+    # a = kp1.x*F[0,0]+kp1.y*F[1,0]+F[2,0], i.e. columns of F12)
+    o = jnp.ones((N1, 1), xy1.dtype)
+    p1 = jnp.concatenate([xy1, o], 1)
+    l2 = p1 @ F12  # (N1,3): [a, b, c]
+    num = l2[:, 0:1] * xy2[None, :, 0] + l2[:, 1:2] * xy2[None, :, 1] + l2[:, 2:3]
+    den = l2[:, 0:1] ** 2 + l2[:, 1:2] ** 2
+    d2 = num * num / jnp.maximum(den, 1e-12)
+    sig2 = sigma2_levels[jnp.clip(octave2, 0, sigma2_levels.shape[0] - 1)]
+    epi_ok = d2 < 3.84 * sig2[None, :]
+
+    mask = epi_ok & free1[:, None] & free2[None, :]
+    INF = jnp.int32(1 << 20)
+    d = jnp.where(mask, dist, INF)
+    best = jnp.min(d, axis=1)
+    best_idx = jnp.argmin(d, axis=1)
+    accept = best <= TH_LOW
+
+    # one kp2 per kp1: min-dist claim
+    i1 = jnp.arange(N1, dtype=jnp.int32)
+    claim_key = best * N1 + i1
+    INF_KEY = jnp.int32(2**31 - 1)
+    winner = jnp.full((N2,), INF_KEY, jnp.int32).at[
+        jnp.where(accept, best_idx, N2)
+    ].min(jnp.where(accept, claim_key, INF_KEY), mode="drop")
+    final = accept & (winner[best_idx] == claim_key)
+    return jnp.where(final, best_idx, -1)

@@ -1,0 +1,310 @@
+"""Local mapping: per-keyframe map growth and refinement.
+
+Replaces LocalMapping (reference: src/LocalMapping.cc:67-276 Run loop,
+:341 MapPointCulling, :383 CreateNewMapPoints, :935 KeyFrameCulling) and
+the window BA (src/Optimizer.cc:1694 LocalBundleAdjustment).
+
+Runs synchronously after keyframe insertion with a bounded iteration
+budget (the TPU replacement for the mbAbortBA/SetAcceptKeyFrames thread
+interplay, SURVEY.md §2.7): every step costs a fixed number of jit
+calls, so mapping latency is bounded by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Sequence, Set
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend import matcher as fm
+from ..geometry import two_view as tv
+from ..solver import ba as sba
+from .map import INVALID, SLAMMap
+
+
+def run_ba(
+    mp: SLAMMap,
+    kf_ids: Sequence[int],
+    fixed_ids: Set[int],
+    project,
+    inv_sigma2: Sequence[float],
+    n_iters: int = 10,
+    max_points: int = 8192,
+    max_obs: int = 32768,
+):
+    """Build a BAProblem from a keyframe window and write results back.
+
+    kf_ids: optimised + fixed keyframes (fixed ones listed in fixed_ids).
+    Points: all points observed by the non-fixed keyframes.  Outlier
+    observations (chi2 > 5.991 after optimisation) are erased from the
+    map like the reference's post-BA loop (Optimizer.cc:2190 region).
+    """
+    kf_ids = [k for k in kf_ids if k in mp.keyframes]
+    if len(kf_ids) < 2:
+        return
+    kf_index = {k: i for i, k in enumerate(kf_ids)}
+    opt_ids = [k for k in kf_ids if k not in fixed_ids]
+
+    pt_ids = mp.points_seen_by(opt_ids)[:max_points]
+    if len(pt_ids) < 8:
+        return
+    pt_index = {int(p): i for i, p in enumerate(pt_ids)}
+
+    obs_kf, obs_mp, obs_uv, obs_sig = [], [], [], []
+    for p in pt_ids:
+        for kf_id, kp in mp.obs.get(int(p), {}).items():
+            if kf_id not in kf_index:
+                continue
+            kf = mp.keyframes[kf_id]
+            obs_kf.append(kf_index[kf_id])
+            obs_mp.append(pt_index[int(p)])
+            obs_uv.append(kf.xy_un[kp])
+            lvl = int(np.clip(kf.octave[kp], 0, len(inv_sigma2) - 1))
+            obs_sig.append(inv_sigma2[lvl])
+    if len(obs_kf) < 16:
+        return
+    O = min(len(obs_kf), max_obs)
+
+    K = len(kf_ids)
+    P = len(pt_ids)
+    Rs = np.stack([mp.keyframes[k].R for k in kf_ids]).astype(np.float32)
+    ts = np.stack([mp.keyframes[k].t for k in kf_ids]).astype(np.float32)
+    fixed = np.array([k in fixed_ids for k in kf_ids])
+    if not fixed.any():
+        fixed[0] = True  # gauge
+
+    # bucketed padding so jit shapes repeat across calls
+    def bucket(n, q):
+        return int(np.ceil(max(n, 1) / q) * q)
+
+    Kp, Pp, Op = bucket(K, 8), bucket(P, 1024), bucket(O, 4096)
+    Rs_p = np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))
+    ts_p = np.zeros((Kp, 3), np.float32)
+    Rs_p[:K], ts_p[:K] = Rs, ts
+    fixed_p = np.ones(Kp, bool)
+    fixed_p[:K] = fixed
+    pts_p = np.zeros((Pp, 3), np.float32)
+    pts_p[:P] = mp.mp_pos[pt_ids]
+    pts_p[P:, 2] = 1.0  # keep padded points off the camera plane
+    fixed_mp_p = np.ones(Pp, bool)
+    fixed_mp_p[:P] = False
+    okf = np.zeros(Op, np.int32)
+    omp = np.zeros(Op, np.int32)
+    ouv = np.zeros((Op, 2), np.float32)
+    osig = np.ones(Op, np.float32)
+    oval = np.zeros(Op, bool)
+    okf[:O] = np.asarray(obs_kf[:O], np.int32)
+    omp[:O] = np.asarray(obs_mp[:O], np.int32)
+    ouv[:O] = np.asarray(obs_uv[:O], np.float32)
+    osig[:O] = np.asarray(obs_sig[:O], np.float32)
+    oval[:O] = True
+
+    prob = sba.BAProblem(
+        R=jnp.asarray(Rs_p), t=jnp.asarray(ts_p),
+        points=jnp.asarray(pts_p),
+        obs_kf=jnp.asarray(okf),
+        obs_mp=jnp.asarray(omp),
+        obs_uv=jnp.asarray(ouv),
+        inv_sigma2=jnp.asarray(osig),
+        obs_valid=jnp.asarray(oval),
+        fixed_kf=jnp.asarray(fixed_p),
+        fixed_mp=jnp.asarray(fixed_mp_p),
+    )
+    res = sba.optimize(prob, project, n_iters=n_iters, cg_iters=40)
+
+    R_out = np.asarray(res.R)[:K]
+    t_out = np.asarray(res.t)[:K]
+    for k, i in kf_index.items():
+        if not fixed[i]:
+            mp.keyframes[k].R = R_out[i]
+            mp.keyframes[k].t = t_out[i]
+    mp.mp_pos[pt_ids] = np.asarray(res.points)[:P]
+
+    inl = np.asarray(res.inliers)
+    for o in np.where(~inl[:O])[0]:
+        p = int(pt_ids[obs_mp[o]])
+        kf_id = kf_ids[obs_kf[o]]
+        mp.erase_observation(p, kf_id)
+    mp.version += 1
+
+
+class LocalMapper:
+    def __init__(self, project, scale_factors, inv_sigma2, K):
+        self.project = project
+        self.scale_factors = scale_factors
+        self.inv_sigma2 = inv_sigma2
+        self.K = K
+        self.recent_points: List[int] = []
+
+    # ----------------------------------------------------------- pipeline
+
+    def process_keyframe(self, mp: SLAMMap, kf_id: int):
+        """ProcessNewKeyFrame + culling + CreateNewMapPoints + local BA
+        (reference LocalMapping::Run body, :78-230)."""
+        self._cull_map_points(mp)
+        self._create_new_points(mp, kf_id)
+        self._local_ba(mp, kf_id)
+
+    def _cull_map_points(self, mp: SLAMMap):
+        """MapPointCulling (reference :341): drop points with found/visible
+        ratio < 0.25 or too few observations soon after creation."""
+        still = []
+        for p in self.recent_points:
+            if not mp.mp_valid[p]:
+                continue
+            vis = max(int(mp.mp_visible[p]), 1)
+            ratio = mp.mp_found[p] / vis
+            n_obs = mp.n_observations(p)
+            age = mp.mp_visible[p]
+            if ratio < 0.25 and vis >= 3:
+                mp.remove_point(p)
+            elif vis >= 4 and n_obs <= 2:
+                mp.remove_point(p)
+            elif vis >= 6:
+                pass  # survived probation
+            else:
+                still.append(p)
+        self.recent_points = still
+
+    def _create_new_points(self, mp: SLAMMap, kf_id: int, n_neighbors: int = 10):
+        """CreateNewMapPoints (reference :383): epipolar-gated matching
+        with covisible neighbours + triangulation."""
+        kf1 = mp.keyframes[kf_id]
+        neighbors = [k for k, _ in mp.covisible_keyframes(kf_id, 1)[:n_neighbors]]
+        O1 = kf1.center()
+        free1 = kf1.valid & (kf1.kp_mp < 0)
+        for nk in neighbors:
+            kf2 = mp.keyframes[nk]
+            baseline = np.linalg.norm(kf2.center() - O1)
+            med_depth = self._median_depth(mp, kf2)
+            if med_depth <= 0 or baseline / med_depth < 0.01:
+                continue
+            F12 = self._fundamental(kf1, kf2)
+            free2 = kf2.valid & (kf2.kp_mp < 0)
+            m12 = np.asarray(
+                fm.search_for_triangulation(
+                    kf1.feats.desc, jnp.asarray(kf1.xy_un), kf1.feats.octave,
+                    jnp.asarray(free1),
+                    kf2.feats.desc, jnp.asarray(kf2.xy_un), kf2.feats.octave,
+                    jnp.asarray(free2),
+                    jnp.asarray(F12.astype(np.float32)),
+                    jnp.asarray(
+                        np.asarray(
+                            [1.0 / s for s in self.inv_sigma2], np.float32
+                        )
+                    ),
+                )
+            )
+            rows = np.where(m12 >= 0)[0]
+            if len(rows) == 0:
+                continue
+            self._triangulate_pairs(mp, kf1, kf2, rows, m12[rows])
+            free1 = kf1.valid & (kf1.kp_mp < 0)
+
+    def _median_depth(self, mp: SLAMMap, kf) -> float:
+        ids = kf.kp_mp[kf.kp_mp >= 0]
+        ids = ids[mp.mp_valid[ids]] if len(ids) else ids
+        if len(ids) == 0:
+            return -1.0
+        pc = mp.mp_pos[ids] @ kf.R.T + kf.t
+        return float(np.median(pc[:, 2]))
+
+    def _fundamental(self, kf1, kf2) -> np.ndarray:
+        """ComputeF12 (reference LocalMapping.cc:1032 region)."""
+        R12 = kf1.R @ kf2.R.T
+        t12 = -R12 @ kf2.t + kf1.t
+        tx = np.array(
+            [
+                [0, -t12[2], t12[1]],
+                [t12[2], 0, -t12[0]],
+                [-t12[1], t12[0], 0],
+            ],
+            np.float32,
+        )
+        Kinv = np.linalg.inv(self.K)
+        return Kinv.T @ tx @ R12 @ Kinv
+
+    def _triangulate_pairs(self, mp: SLAMMap, kf1, kf2, idx1, idx2):
+        """Triangulate matched pairs with the reference's checks
+        (parallax, cheirality, reprojection, scale consistency)."""
+        P1 = self.K @ np.concatenate([kf1.R, kf1.t[:, None]], 1)
+        P2 = self.K @ np.concatenate([kf2.R, kf2.t[:, None]], 1)
+        x1 = kf1.xy_un[idx1]
+        x2 = kf2.xy_un[idx2]
+        X = np.asarray(
+            tv.triangulate(
+                jnp.asarray(P1.astype(np.float32)),
+                jnp.asarray(P2.astype(np.float32)),
+                jnp.asarray(x1), jnp.asarray(x2),
+            )
+        )
+        O1, O2 = kf1.center(), kf2.center()
+        r1 = X - O1
+        r2 = X - O2
+        n1 = np.linalg.norm(r1, axis=-1)
+        n2 = np.linalg.norm(r2, axis=-1)
+        cos_par = (r1 * r2).sum(-1) / np.maximum(n1 * n2, 1e-12)
+
+        pc1 = X @ kf1.R.T + kf1.t
+        pc2 = X @ kf2.R.T + kf2.t
+        ok = (pc1[:, 2] > 0) & (pc2[:, 2] > 0) & (cos_par < 0.9998)
+
+        fx, fy, cx, cy = self.K[0, 0], self.K[1, 1], self.K[0, 2], self.K[1, 2]
+        for im, (pc, x, kf, idx) in enumerate(
+            [(pc1, x1, kf1, idx1), (pc2, x2, kf2, idx2)]
+        ):
+            u = fx * pc[:, 0] / np.maximum(pc[:, 2], 1e-9) + cx
+            v = fy * pc[:, 1] / np.maximum(pc[:, 2], 1e-9) + cy
+            sig2 = np.asarray([1.0 / s for s in self.inv_sigma2])[
+                np.clip(kf.octave[idx], 0, len(self.inv_sigma2) - 1)
+            ]
+            err = (u - x[:, 0]) ** 2 + (v - x[:, 1]) ** 2
+            ok &= err <= 5.991 * sig2
+
+        # scale consistency (reference :383+300 region)
+        sf = np.asarray(self.scale_factors)
+        ratio_dist = n2 / np.maximum(n1, 1e-12)
+        ratio_oct = (
+            sf[np.clip(kf1.octave[idx1], 0, len(sf) - 1)]
+            / sf[np.clip(kf2.octave[idx2], 0, len(sf) - 1)]
+        )
+        factor = 1.5 * float(sf[1])
+        ok &= (ratio_dist < ratio_oct * factor) & (
+            ratio_dist * factor > ratio_oct
+        )
+
+        for j in np.where(ok)[0]:
+            i1, i2 = int(idx1[j]), int(idx2[j])
+            if kf1.kp_mp[i1] >= 0 or kf2.kp_mp[i2] >= 0:
+                continue
+            mid = mp.add_point(
+                X[j], kf1.desc[i1], np.zeros(3, np.float32), 1.0, kf1.kid
+            )
+            mp.add_observation(mid, kf1.kid, i1)
+            mp.add_observation(mid, kf2.kid, i2)
+            mp.update_point_stats(mid)
+            self.recent_points.append(mid)
+
+    def _local_ba(self, mp: SLAMMap, kf_id: int):
+        """LocalBundleAdjustment window build (reference Optimizer.cc:1698):
+        local = covisibles of the new KF; fixed = other KFs observing the
+        local points."""
+        local = [kf_id] + [k for k, _ in mp.covisible_keyframes(kf_id, 1)]
+        local_set = set(local)
+        pt_ids = mp.points_seen_by(local)
+        fixed: Set[int] = set()
+        for p in pt_ids:
+            for k in mp.obs.get(int(p), {}):
+                if k not in local_set:
+                    fixed.add(k)
+        all_ids = local + sorted(fixed)
+        # keep the problem bounded (reference uses the covisibility window)
+        all_ids = all_ids[:24]
+        if len(local) >= len(all_ids):
+            fixed_ids = {all_ids[-1]} if len(all_ids) > 2 else set()
+        else:
+            fixed_ids = set(all_ids) - set(local)
+        run_ba(
+            mp, all_ids, fixed_ids, self.project, self.inv_sigma2, n_iters=8
+        )

@@ -1,0 +1,228 @@
+"""Map state: keyframes, map points, observations, covisibility.
+
+Replaces the reference's mutex-guarded object graph (Map/KeyFrame/
+MapPoint, src/Map.cc, src/KeyFrame.cc, src/MapPoint.cc) with a
+single-writer host-side arena of numpy arrays (SoA) mirroring onto
+device arrays for the jit compute stages.  There are no locks: the host
+scheduler is the only writer (the TPU design removes the reference's
+race-hazard class, SURVEY.md §5.2), and versioned snapshots are cheap
+because state is arrays.
+
+Capacities are grow-on-demand amortised doublings; the device-side
+consumers always receive fixed-capacity padded views.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..frontend.extractor import Features
+
+INVALID = -1
+
+
+@dataclasses.dataclass
+class KeyFrame:
+    """Frozen frame promoted to the map (reference KeyFrame.cc ctor)."""
+
+    kid: int
+    frame_id: int
+    timestamp: float
+    R: np.ndarray                 # (3,3) world->cam
+    t: np.ndarray                 # (3,)
+    feats: Features               # device pytree (padded)
+    xy_un: np.ndarray             # (N,2) undistorted kp coords (host)
+    octave: np.ndarray            # (N,) host copy
+    angle: np.ndarray             # (N,)
+    desc: np.ndarray              # (N,32) host copy
+    valid: np.ndarray             # (N,)
+    kp_mp: np.ndarray             # (N,) map-point id per keypoint or -1
+    is_bad: bool = False
+
+    @property
+    def n_kps(self) -> int:
+        return int(self.valid.sum())
+
+    def center(self) -> np.ndarray:
+        return -self.R.T @ self.t
+
+
+class SLAMMap:
+    """One map of the Atlas (reference Map, inc/Map.h:75)."""
+
+    def __init__(self, capacity: int = 20000):
+        self.keyframes: Dict[int, KeyFrame] = {}
+        self._next_kf = 0
+        self._next_mp = 0
+        cap = capacity
+        self.mp_pos = np.zeros((cap, 3), np.float32)
+        self.mp_desc = np.zeros((cap, 32), np.uint8)
+        self.mp_normal = np.zeros((cap, 3), np.float32)
+        self.mp_max_dist = np.zeros((cap,), np.float32)
+        self.mp_valid = np.zeros((cap,), bool)
+        self.mp_first_kf = np.full((cap,), INVALID, np.int32)
+        self.mp_visible = np.zeros((cap,), np.int32)
+        self.mp_found = np.zeros((cap,), np.int32)
+        # observations: mp -> {kf: kp_idx}
+        self.obs: Dict[int, Dict[int, int]] = {}
+        self.version = 0  # change index (reference Map::GetMapChangeIndex)
+
+    # ------------------------------------------------------------ points
+
+    def _ensure_capacity(self, n_more: int):
+        cap = len(self.mp_valid)
+        if self._next_mp + n_more <= cap:
+            return
+        new = max(cap * 2, self._next_mp + n_more)
+        grow = lambda a: np.concatenate(
+            [a, np.zeros((new - cap,) + a.shape[1:], a.dtype)], 0
+        )
+        self.mp_pos = grow(self.mp_pos)
+        self.mp_desc = grow(self.mp_desc)
+        self.mp_normal = grow(self.mp_normal)
+        self.mp_max_dist = grow(self.mp_max_dist)
+        self.mp_valid = grow(self.mp_valid)
+        self.mp_first_kf = np.concatenate(
+            [self.mp_first_kf, np.full(new - cap, INVALID, np.int32)]
+        )
+        self.mp_visible = grow(self.mp_visible)
+        self.mp_found = grow(self.mp_found)
+
+    def add_point(self, pos, desc, normal, max_dist, first_kf) -> int:
+        self._ensure_capacity(1)
+        i = self._next_mp
+        self._next_mp += 1
+        self.mp_pos[i] = pos
+        self.mp_desc[i] = desc
+        self.mp_normal[i] = normal
+        self.mp_max_dist[i] = max_dist
+        self.mp_valid[i] = True
+        self.mp_first_kf[i] = first_kf
+        self.obs[i] = {}
+        self.version += 1
+        return i
+
+    def remove_point(self, mp: int):
+        if not self.mp_valid[mp]:
+            return
+        self.mp_valid[mp] = False
+        for kf_id, kp in self.obs.get(mp, {}).items():
+            kf = self.keyframes.get(kf_id)
+            if kf is not None and kf.kp_mp[kp] == mp:
+                kf.kp_mp[kp] = INVALID
+        self.obs.pop(mp, None)
+        self.version += 1
+
+    def add_observation(self, mp: int, kf_id: int, kp_idx: int):
+        self.obs[mp][kf_id] = kp_idx
+        self.keyframes[kf_id].kp_mp[kp_idx] = mp
+
+    def erase_observation(self, mp: int, kf_id: int):
+        kp = self.obs.get(mp, {}).pop(kf_id, None)
+        if kp is not None:
+            kf = self.keyframes.get(kf_id)
+            if kf is not None and kf.kp_mp[kp] == mp:
+                kf.kp_mp[kp] = INVALID
+        if mp in self.obs and len(self.obs[mp]) <= 1:
+            self.remove_point(mp)
+
+    def n_observations(self, mp: int) -> int:
+        return len(self.obs.get(mp, {}))
+
+    # --------------------------------------------------------- keyframes
+
+    def add_keyframe(self, kf: KeyFrame) -> int:
+        kf.kid = self._next_kf
+        self._next_kf += 1
+        self.keyframes[kf.kid] = kf
+        self.version += 1
+        return kf.kid
+
+    def update_point_stats(self, mp: int):
+        """UpdateNormalAndDepth + descriptor refresh (reference
+        MapPoint.cc:427, :330): mean viewing normal, max scale-invariance
+        distance, median-Hamming distinctive descriptor."""
+        o = self.obs.get(mp)
+        if not o:
+            return
+        pos = self.mp_pos[mp]
+        normals = []
+        descs = []
+        for kf_id, kp in o.items():
+            kf = self.keyframes[kf_id]
+            v = pos - kf.center()
+            n = np.linalg.norm(v)
+            if n > 1e-9:
+                normals.append(v / n)
+            descs.append(kf.desc[kp])
+        if normals:
+            m = np.mean(normals, 0)
+            nm = np.linalg.norm(m)
+            if nm > 1e-9:
+                self.mp_normal[mp] = m / nm
+        # distinctive descriptor: min median distance to the others
+        if len(descs) == 1:
+            self.mp_desc[mp] = descs[0]
+        else:
+            D = np.array(descs)
+            bits = np.unpackbits(D, axis=1).astype(np.int32)
+            dist = (bits[:, None, :] != bits[None, :, :]).sum(-1)
+            med = np.median(dist, axis=1)
+            self.mp_desc[mp] = D[int(np.argmin(med))]
+        # reference: maxDist = dist(refKF) * scaleFactor^octave
+        ref_id = self.mp_first_kf[mp]
+        kf = self.keyframes.get(int(ref_id)) or self.keyframes[next(iter(o))]
+        kp = o.get(kf.kid, next(iter(o.values())))
+        d = np.linalg.norm(pos - kf.center())
+        level = int(kf.octave[kp])
+        self.mp_max_dist[mp] = d * (1.2 ** level)
+
+    # ------------------------------------------------------- covisibility
+
+    def covisible_keyframes(self, kf_id: int, min_weight: int = 15
+                            ) -> List[Tuple[int, int]]:
+        """(neighbor_kf, shared-point count), strongest first (reference
+        KeyFrame::UpdateConnections, weight>=15 with strongest forced)."""
+        counts: Dict[int, int] = {}
+        kf = self.keyframes[kf_id]
+        for mp in kf.kp_mp:
+            if mp < 0:
+                continue
+            for other in self.obs.get(int(mp), {}):
+                if other != kf_id:
+                    counts[other] = counts.get(other, 0) + 1
+        pairs = sorted(counts.items(), key=lambda it: -it[1])
+        out = [p for p in pairs if p[1] >= min_weight]
+        if not out and pairs:
+            out = [pairs[0]]
+        return out
+
+    def points_seen_by(self, kf_ids) -> np.ndarray:
+        s = set()
+        for kid in kf_ids:
+            kf = self.keyframes.get(kid)
+            if kf is None:
+                continue
+            s.update(int(m) for m in kf.kp_mp if m >= 0)
+        return np.asarray(sorted(s), np.int32)
+
+
+class Atlas:
+    """Multi-map container (reference Atlas, inc/Atlas.h:76): tracking
+    loss with a big enough map starts a fresh map; maps can later be
+    merged by loop closing (round 2+)."""
+
+    def __init__(self):
+        self.maps: List[SLAMMap] = [SLAMMap()]
+        self.active = 0
+
+    @property
+    def current(self) -> SLAMMap:
+        return self.maps[self.active]
+
+    def create_new_map(self):
+        self.maps.append(SLAMMap())
+        self.active = len(self.maps) - 1

@@ -1,0 +1,70 @@
+"""System facade: the user-facing API.
+
+Replaces System (reference: src/System.cc:41 ctor, :346 TrackMonocular,
+:448 Shutdown, :480/:573 SaveTrajectoryTUM/EuRoC).  Instead of spawning
+LocalMapping/LoopClosing/Viewer threads (src/System.cc:180-205), the
+host scheduler drives the jit pipeline stages synchronously with bounded
+work per frame.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import SLAMConfig, load_yaml
+from ..core import lie
+from .tracking import Tracker, TrackState
+
+
+class System:
+    def __init__(self, cfg: Optional[SLAMConfig] = None, settings_yaml: Optional[str] = None):
+        if cfg is None:
+            cfg = load_yaml(settings_yaml) if settings_yaml else SLAMConfig()
+        self.cfg = cfg
+        self.tracker = Tracker(cfg)
+
+    def track_monocular(self, img: np.ndarray, timestamp: float) -> TrackState:
+        """Reference System::TrackMonocular (src/System.cc:346)."""
+        if img.ndim == 3:
+            # cvtColor equivalent: BGR -> gray (reference Tracking.cc:1042)
+            img = np.round(
+                0.114 * img[..., 0] + 0.587 * img[..., 1] + 0.299 * img[..., 2]
+            ).astype(np.uint8)
+        return self.tracker.track(img, timestamp)
+
+    @property
+    def state(self) -> TrackState:
+        return self.tracker.state
+
+    def current_pose(self):
+        f = self.tracker.last_frame
+        if f is None or f.R is None:
+            return None
+        return f.R, f.t
+
+    def n_map_points(self) -> int:
+        mp = self.tracker.atlas.current
+        return int(mp.mp_valid[: mp._next_mp].sum())
+
+    def n_keyframes(self) -> int:
+        return len(self.tracker.atlas.current.keyframes)
+
+    def save_trajectory_tum(self, path: str):
+        """SaveTrajectoryTUM (reference src/System.cc:480): one line per
+        frame 'ts tx ty tz qx qy qz qw' with camera-to-world pose."""
+        import jax.numpy as jnp
+
+        with open(path, "w") as f:
+            for ts, R, t in self.tracker.trajectory:
+                Rwc = R.T
+                twc = -R.T @ t
+                q = np.asarray(lie.rot_to_quat(jnp.asarray(Rwc)))  # (w,x,y,z)
+                f.write(
+                    f"{ts:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
+                    f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
+                )
+
+    def shutdown(self):
+        pass

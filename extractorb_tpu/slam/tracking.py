@@ -1,0 +1,509 @@
+"""Monocular tracking: the per-frame hot path.
+
+Replaces Tracking (reference: src/Tracking.cc:1390-1907 Track(), :2018
+MonocularInitialization, :2437 TrackWithMotionModel, :2308
+TrackReferenceKeyFrame, :2532 TrackLocalMap, :2647 NeedNewKeyFrame).
+
+TPU design: the host runs the state machine (the data-dependent part the
+reference also runs on one thread) while every dense stage — extraction,
+projection search, pose optimisation — is a jit call on device arrays.
+Local mapping runs synchronously after keyframe insertion with a bounded
+work budget per step instead of a competing thread (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SLAMConfig
+from ..core.camera import Pinhole, undistort_points_pinhole
+from ..frontend import matcher as fm
+from ..frontend.extractor import Features, ORBExtractor
+from ..geometry import two_view as tv
+from ..solver import ba as sba
+from ..solver import pose_opt as spo
+from .map import INVALID, Atlas, KeyFrame, SLAMMap
+from . import local_mapping
+
+
+class TrackState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    RECENTLY_LOST = 3
+    LOST = 4
+
+
+@dataclasses.dataclass
+class Frame:
+    frame_id: int
+    timestamp: float
+    feats: Features            # device
+    xy_un: np.ndarray          # (N,2) undistorted (host)
+    octave: np.ndarray
+    angle: np.ndarray
+    desc: np.ndarray
+    valid: np.ndarray
+    kp_mp: np.ndarray          # (N,) associated map point or -1
+    R: Optional[np.ndarray] = None
+    t: Optional[np.ndarray] = None
+
+
+class Tracker:
+    def __init__(self, cfg: SLAMConfig):
+        self.cfg = cfg
+        cam_cfg = cfg.camera
+        self.cam = Pinhole.from_config(cam_cfg)
+        self.dist = jnp.asarray(
+            [cam_cfg.k1, cam_cfg.k2, cam_cfg.p1, cam_cfg.p2, cam_cfg.k3],
+            jnp.float32,
+        )
+        self.has_dist = abs(cam_cfg.k1) > 1e-12
+        fx, fy, cx, cy = cam_cfg.fx, cam_cfg.fy, cam_cfg.cx, cam_cfg.cy
+
+        def project(pc):
+            return jnp.stack(
+                [fx * pc[0] / pc[2] + cx, fy * pc[1] / pc[2] + cy], -1
+            ).reshape(2)
+
+        self.project = project
+        self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+        self.img_wh = (float(cam_cfg.width), float(cam_cfg.height))
+
+        self.extractor = ORBExtractor(cfg.orb, octree="device")
+        init_orb = dataclasses.replace(cfg.orb, n_features=5 * cfg.orb.n_features)
+        self.init_extractor = ORBExtractor(init_orb, octree="device")
+        self.scale_factors = tuple(float(s) for s in self.extractor.scales)
+        sig = [s * s for s in self.scale_factors]
+        self.inv_sigma2 = tuple(1.0 / v for v in sig)
+
+        self.state = TrackState.NO_IMAGES_YET
+        self.atlas = Atlas()
+        self.local_mapper = local_mapping.LocalMapper(
+            self.project, self.scale_factors, self.inv_sigma2, self.K
+        )
+        self._next_frame_id = 0
+        self.init_frame: Optional[Frame] = None
+        self.prev_matched: Optional[np.ndarray] = None
+        self.last_frame: Optional[Frame] = None
+        self.ref_kf: Optional[int] = None
+        self.velocity: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self.last_kf_frame_id = 0
+        self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        self._rng = np.random.default_rng(0)
+
+    # ------------------------------------------------------------ frames
+
+    def _make_frame(self, img: np.ndarray, ts: float, init: bool = False) -> Frame:
+        ext = self.init_extractor if init else self.extractor
+        feats = ext(jnp.asarray(img))
+        xy = np.asarray(feats.xy)
+        if self.has_dist:
+            xy_un = np.asarray(
+                undistort_points_pinhole(jnp.asarray(xy), self.cam, self.dist)
+            )
+        else:
+            xy_un = xy
+        f = Frame(
+            frame_id=self._next_frame_id,
+            timestamp=ts,
+            feats=feats,
+            xy_un=xy_un.astype(np.float32),
+            octave=np.asarray(feats.octave),
+            angle=np.asarray(feats.angle),
+            desc=np.asarray(feats.desc),
+            valid=np.asarray(feats.valid),
+            kp_mp=np.full(feats.capacity, INVALID, np.int32),
+        )
+        self._next_frame_id += 1
+        return f
+
+    # ------------------------------------------------------------- entry
+
+    def track(self, img: np.ndarray, ts: float):
+        """GrabImageMonocular + Track (reference Tracking.cc:1038, :1390)."""
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            self._monocular_initialization(img, ts)
+        else:
+            frame = self._make_frame(img, ts)
+            ok = self._track_frame(frame)
+            if ok:
+                self.state = TrackState.OK
+            else:
+                # reference: RECENTLY_LOST then reset map or relocalize;
+                # Atlas recovery: with enough KFs start a new map
+                self.state = TrackState.LOST
+            self.last_frame = frame
+            if frame.R is not None:
+                self.trajectory.append((ts, frame.R.copy(), frame.t.copy()))
+        return self.state
+
+    # ---------------------------------------------------- initialization
+
+    def _monocular_initialization(self, img, ts):
+        """Reference MonocularInitialization (Tracking.cc:2018)."""
+        frame = self._make_frame(img, ts, init=True)
+        if self.init_frame is None or self.state == TrackState.NO_IMAGES_YET:
+            if frame.feats.count() >= 100:
+                self.init_frame = frame
+                self.prev_matched = frame.xy_un.copy()
+                self.state = TrackState.NOT_INITIALIZED
+            self.last_frame = frame
+            return
+        if int(frame.feats.count()) <= 100:
+            self.init_frame = None
+            self.state = TrackState.NO_IMAGES_YET
+            self.last_frame = frame
+            return
+
+        f1, f2 = self.init_frame, frame
+        m12 = np.asarray(
+            fm.search_for_initialization(
+                f1.feats.desc, jnp.asarray(f1.xy_un), f1.feats.angle,
+                f1.feats.octave, f1.feats.valid,
+                f2.feats.desc, jnp.asarray(f2.xy_un), f2.feats.angle,
+                f2.feats.octave, f2.feats.valid,
+                100,
+                jnp.asarray(self.prev_matched),
+            )
+        )
+        n = (m12 >= 0).sum()
+        if n < 100:
+            self.init_frame = None
+            self.state = TrackState.NO_IMAGES_YET
+            self.last_frame = frame
+            return
+        # update prev_matched like the reference
+        idx1 = np.where(m12 >= 0)[0]
+        self.prev_matched[idx1] = f2.xy_un[m12[idx1]]
+
+        cap = 1024
+        sel = idx1[:cap]
+        x1 = np.zeros((cap, 2), np.float32)
+        x2 = np.zeros((cap, 2), np.float32)
+        vmask = np.zeros(cap, bool)
+        x1[: len(sel)] = f1.xy_un[sel]
+        x2[: len(sel)] = f2.xy_un[m12[sel]]
+        vmask[: len(sel)] = True
+        res = tv.reconstruct(
+            jax.random.PRNGKey(int(self._rng.integers(1 << 30))),
+            jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(vmask),
+            jnp.asarray(self.K),
+        )
+        if not bool(res.success):
+            self.last_frame = frame
+            return
+        self._create_initial_map(f1, f2, sel, m12, res)
+        self.last_frame = frame
+
+    def _create_initial_map(self, f1: Frame, f2: Frame, sel, m12, res):
+        """Reference CreateInitialMapMonocular (Tracking.cc:2099)."""
+        mp = self.atlas.current
+        R21 = np.asarray(res.R21)
+        t21 = np.asarray(res.t21)
+        tri = np.asarray(res.is_triangulated)
+        pts = np.asarray(res.points3d)
+
+        f1.R, f1.t = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        f2.R, f2.t = R21.astype(np.float32), t21.astype(np.float32)
+
+        kf1 = self._promote(f1, mp)
+        kf2 = self._promote(f2, mp)
+
+        for j, i1 in enumerate(sel):
+            if not tri[j]:
+                continue
+            i2 = int(m12[i1])
+            pos = pts[j]
+            kp = int(i2)
+            d = f2.desc[kp]
+            mid = mp.add_point(pos, d, np.zeros(3, np.float32), 1.0, kf2.kid)
+            mp.add_observation(mid, kf1.kid, int(i1))
+            mp.add_observation(mid, kf2.kid, i2)
+            mp.update_point_stats(mid)
+
+        # global BA on the 2-KF map (reference: 20 iters)
+        local_mapping.run_ba(
+            mp, [kf1.kid, kf2.kid], set(), self.project, self.inv_sigma2,
+            n_iters=20,
+        )
+
+        # median-depth normalisation (reference Tracking.cc:2166-2195)
+        valid_ids = np.where(mp.mp_valid[: mp._next_mp])[0]
+        if len(valid_ids) < 50:
+            self._reset_map()
+            return
+        pc1 = mp.mp_pos[valid_ids] @ kf1.R.T + kf1.t
+        median_depth = float(np.median(pc1[:, 2]))
+        if median_depth <= 0:
+            self._reset_map()
+            return
+        inv_md = 1.0 / median_depth
+        kf2.t = kf2.t * inv_md
+        mp.mp_pos[valid_ids] *= inv_md
+        for mid in valid_ids:
+            mp.update_point_stats(int(mid))
+
+        f2.R, f2.t = kf2.R.copy(), kf2.t.copy()
+        f1.kp_mp = kf1.kp_mp
+        f2.kp_mp = kf2.kp_mp
+        self.ref_kf = kf2.kid
+        self.last_kf_frame_id = f2.frame_id
+        self.velocity = None
+        self.state = TrackState.OK
+        self.trajectory.append((f1.timestamp, f1.R.copy(), f1.t.copy()))
+        self.trajectory.append((f2.timestamp, f2.R.copy(), f2.t.copy()))
+
+    def _reset_map(self):
+        self.atlas.create_new_map()
+        self.init_frame = None
+        self.state = TrackState.NO_IMAGES_YET
+        self.ref_kf = None
+        self.velocity = None
+
+    def _promote(self, f: Frame, mp: SLAMMap) -> KeyFrame:
+        kf = KeyFrame(
+            kid=-1, frame_id=f.frame_id, timestamp=f.timestamp,
+            R=f.R.copy(), t=f.t.copy(), feats=f.feats,
+            xy_un=f.xy_un, octave=f.octave, angle=f.angle,
+            desc=f.desc, valid=f.valid, kp_mp=f.kp_mp.copy(),
+        )
+        mp.add_keyframe(kf)
+        # share the association array so frame/keyframe stay consistent
+        f.kp_mp = kf.kp_mp
+        return kf
+
+    # ----------------------------------------------------------- tracking
+
+    def _track_frame(self, frame: Frame) -> bool:
+        mp = self.atlas.current
+        ok = False
+        if self.velocity is not None and self.last_frame is not None:
+            ok = self._track_with_motion_model(frame)
+        if not ok and self.last_frame is not None:
+            ok = self._track_reference_keyframe(frame)
+        if not ok:
+            self.velocity = None
+            return False
+
+        ok = self._track_local_map(frame)
+        if not ok:
+            self.velocity = None
+            return False
+
+        # motion model (reference: mVelocity = Tcw * Twl)
+        lR, lt = self.last_frame.R, self.last_frame.t
+        if lR is not None:
+            Rv = frame.R @ lR.T
+            tv_ = frame.t - Rv @ lt
+            self.velocity = (Rv, tv_)
+
+        if self._need_new_keyframe(frame):
+            self._create_keyframe(frame)
+        return True
+
+    def _predict_pose(self):
+        Rv, tv_ = self.velocity
+        lR, lt = self.last_frame.R, self.last_frame.t
+        return (Rv @ lR).astype(np.float32), (Rv @ lt + tv_).astype(np.float32)
+
+    def _matched_point_arrays(self, frame: Frame, pad: int):
+        """Gather (mp_id, kp_idx) pairs of current associations."""
+        idx = np.where(frame.kp_mp >= 0)[0]
+        return idx
+
+    def _track_with_motion_model(self, frame: Frame) -> bool:
+        """Reference TrackWithMotionModel (Tracking.cc:2437)."""
+        mp = self.atlas.current
+        last = self.last_frame
+        R, t = self._predict_pose()
+        frame.R, frame.t = R, t
+
+        lm_idx = np.where(last.kp_mp >= 0)[0]
+        if len(lm_idx) < 10:
+            return False
+        M = 2048
+        lm_idx = lm_idx[:M]
+        mp_ids = last.kp_mp[lm_idx]
+        mp_pos = np.zeros((M, 3), np.float32)
+        mp_desc = np.zeros((M, 32), np.uint8)
+        mp_oct = np.zeros((M,), np.int32)
+        mp_ang = np.zeros((M,), np.float32)
+        mp_val = np.zeros((M,), bool)
+        k = len(lm_idx)
+        mp_pos[:k] = mp.mp_pos[mp_ids]
+        mp_desc[:k] = last.desc[lm_idx]   # reference matches vs LAST FRAME desc
+        mp_oct[:k] = last.octave[lm_idx]
+        mp_ang[:k] = last.angle[lm_idx]
+        mp_val[:k] = mp.mp_valid[mp_ids]
+
+        def run(th):
+            return np.asarray(
+                fm.search_by_projection_last_frame(
+                    jnp.asarray(mp_pos), jnp.asarray(mp_desc),
+                    jnp.asarray(mp_val), jnp.asarray(mp_oct),
+                    jnp.asarray(mp_ang),
+                    jnp.asarray(R), jnp.asarray(t),
+                    jnp.asarray(frame.xy_un), frame.feats.desc,
+                    frame.feats.octave, frame.feats.angle, frame.feats.valid,
+                    self.project, self.scale_factors, self.img_wh, th,
+                )
+            )
+
+        matches = run(15.0)
+        if (matches >= 0).sum() < 20:
+            matches = run(30.0)  # reference widens the window
+        n = (matches >= 0).sum()
+        if n < 20:
+            return False
+
+        frame.kp_mp[:] = INVALID
+        rows = np.where(matches >= 0)[0]
+        frame.kp_mp[matches[rows]] = mp_ids[rows]
+        return self._pose_opt(frame, min_inliers=10)
+
+    def _track_reference_keyframe(self, frame: Frame) -> bool:
+        """Reference TrackReferenceKeyFrame (Tracking.cc:2308); BoW match
+        replaced by a mutual-best descriptor match (place/ vocab lands in
+        a later round)."""
+        mp = self.atlas.current
+        if self.ref_kf is None or self.ref_kf not in mp.keyframes:
+            return False
+        kf = mp.keyframes[self.ref_kf]
+        m12, _ = fm.mutual_best_match(
+            frame.feats.desc, frame.feats.valid,
+            jnp.asarray(kf.desc), jnp.asarray(kf.valid),
+        )
+        m12 = np.asarray(m12)
+        frame.kp_mp[:] = INVALID
+        for i, j in enumerate(m12):
+            if j >= 0 and kf.kp_mp[j] >= 0 and mp.mp_valid[kf.kp_mp[j]]:
+                frame.kp_mp[i] = kf.kp_mp[j]
+        if (frame.kp_mp >= 0).sum() < 15:
+            return False
+        frame.R = self.last_frame.R.copy() if self.last_frame.R is not None else np.eye(3, dtype=np.float32)
+        frame.t = self.last_frame.t.copy() if self.last_frame.t is not None else np.zeros(3, np.float32)
+        return self._pose_opt(frame, min_inliers=10)
+
+    def _track_local_map(self, frame: Frame) -> bool:
+        """Reference TrackLocalMap (Tracking.cc:2532)."""
+        mp = self.atlas.current
+        if self.ref_kf is None:
+            return False
+        # local keyframes: ref KF + covisibles (reference UpdateLocalKeyFrames)
+        local_kfs = [self.ref_kf] + [
+            k for k, _ in mp.covisible_keyframes(self.ref_kf, min_weight=1)[:10]
+        ]
+        pt_ids = mp.points_seen_by(local_kfs)
+        if len(pt_ids) == 0:
+            return False
+        M = 4096
+        pt_ids = pt_ids[:M]
+        k = len(pt_ids)
+        mp_pos = np.zeros((M, 3), np.float32)
+        mp_desc = np.zeros((M, 32), np.uint8)
+        mp_norm = np.zeros((M, 3), np.float32)
+        mp_maxd = np.ones((M,), np.float32)
+        mp_val = np.zeros((M,), bool)
+        mp_pos[:k] = mp.mp_pos[pt_ids]
+        mp_desc[:k] = mp.mp_desc[pt_ids]
+        mp_norm[:k] = mp.mp_normal[pt_ids]
+        mp_maxd[:k] = mp.mp_max_dist[pt_ids]
+        mp_val[:k] = mp.mp_valid[pt_ids]
+        # points already matched in the frame are not searched again
+        already = np.isin(pt_ids, frame.kp_mp[frame.kp_mp >= 0])
+        mp_val[:k] &= ~already
+
+        kp_free = frame.valid & (frame.kp_mp < 0)
+        matches = np.asarray(
+            fm.search_by_projection_local_map(
+                jnp.asarray(mp_pos), jnp.asarray(mp_desc), jnp.asarray(mp_val),
+                jnp.asarray(mp_norm), jnp.asarray(mp_maxd),
+                jnp.asarray(frame.R), jnp.asarray(frame.t),
+                jnp.asarray(frame.xy_un), frame.feats.desc,
+                frame.feats.octave, jnp.asarray(kp_free), None,
+                self.project, self.scale_factors, self.img_wh,
+            )
+        )
+        rows = np.where(matches >= 0)[0]
+        frame.kp_mp[matches[rows]] = pt_ids[rows]
+        mp.mp_visible[pt_ids[: k][mp_val[:k]]] += 1
+
+        ok = self._pose_opt(frame, min_inliers=30)
+        if ok:
+            found = frame.kp_mp[frame.kp_mp >= 0]
+            mp.mp_found[found] += 1
+        return ok
+
+    def _pose_opt(self, frame: Frame, min_inliers: int) -> bool:
+        """Motion-only BA; drops outlier associations like the reference."""
+        mp = self.atlas.current
+        idx = np.where(frame.kp_mp >= 0)[0]
+        if len(idx) < min_inliers:
+            return False
+        N = 2048
+        idx = idx[:N]
+        pts = np.zeros((N, 3), np.float32)
+        uv = np.zeros((N, 2), np.float32)
+        isig = np.ones((N,), np.float32)
+        val = np.zeros((N,), bool)
+        k = len(idx)
+        pts[:k] = mp.mp_pos[frame.kp_mp[idx]]
+        uv[:k] = frame.xy_un[idx]
+        isig[:k] = np.asarray(self.inv_sigma2, np.float32)[
+            np.clip(frame.octave[idx], 0, len(self.inv_sigma2) - 1)
+        ]
+        val[:k] = True
+        res = spo.optimize_pose(
+            jnp.asarray(frame.R), jnp.asarray(frame.t),
+            jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(isig),
+            jnp.asarray(val), self.project,
+        )
+        inl = np.asarray(res.inliers)[:k]
+        frame.R = np.asarray(res.R)
+        frame.t = np.asarray(res.t)
+        # drop outlier associations
+        frame.kp_mp[idx[~inl]] = INVALID
+        return int(inl.sum()) >= min_inliers
+
+    # ---------------------------------------------------------- keyframes
+
+    def _need_new_keyframe(self, frame: Frame) -> bool:
+        """Reference NeedNewKeyFrame (Tracking.cc:2647), mono subset."""
+        mp = self.atlas.current
+        tracked = int((frame.kp_mp >= 0).sum())
+        if self.ref_kf is None or self.ref_kf not in mp.keyframes:
+            return False
+        ref = mp.keyframes[self.ref_kf]
+        ref_tracked = int(
+            sum(
+                1
+                for m in ref.kp_mp
+                if m >= 0 and mp.mp_valid[m] and mp.n_observations(int(m)) >= 3
+            )
+        )
+        c1a = frame.frame_id >= self.last_kf_frame_id + self.cfg.tracking.max_frames
+        c1b = frame.frame_id >= self.last_kf_frame_id + self.cfg.tracking.min_frames
+        c2 = (tracked < ref_tracked * 0.9) and tracked > 15
+        return bool((c1a or (c1b and c2)) and tracked > 15)
+
+    def _create_keyframe(self, frame: Frame):
+        mp = self.atlas.current
+        kf = self._promote(frame, mp)
+        for kp in np.where(kf.kp_mp >= 0)[0]:
+            mid = int(kf.kp_mp[kp])
+            if mp.mp_valid[mid]:
+                mp.add_observation(mid, kf.kid, int(kp))
+                mp.update_point_stats(mid)
+            else:
+                kf.kp_mp[kp] = INVALID
+        self.ref_kf = kf.kid
+        self.last_kf_frame_id = frame.frame_id
+        # synchronous local mapping step (bounded work budget)
+        self.local_mapper.process_keyframe(mp, kf.kid)
