@@ -105,20 +105,45 @@ def detect_keypoints(
 
     score = corner_score(bordered, border)
 
-    # Valid detection region: 3 px inside each cell window; the windows
-    # tile it disjointly (window j valid x = [iniX+3, iniX+wCell+3)).
-    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    in_region = (
-        (xs >= min_b + 3) & (xs < max_x - 3) & (ys >= min_b + 3) & (ys < max_y - 3)
+    # All cell geometry is static per image shape: build the valid-region
+    # and cross-cell-boundary neighbour masks as COMPILE-TIME constants
+    # (numpy), so the nonmax pass is 8 shifted compares with constant
+    # masks — no dynamic cell-id arithmetic on device.
+    ys_np = np.arange(H)[:, None]
+    xs_np = np.arange(W)[None, :]
+    in_region_np = (
+        (xs_np >= min_b + 3) & (xs_np < max_x - 3)
+        & (ys_np >= min_b + 3) & (ys_np < max_y - 3)
+        & (xs_np < min_b + n_cols * w_cell + 3)
+        & (ys_np < min_b + n_rows * h_cell + 3)
     )
-    # Reference also requires the window to exist: x < minB + nCols*wCell + 3
-    in_region &= (xs < min_b + n_cols * w_cell + 3) & (
-        ys < min_b + n_rows * h_cell + 3
-    )
+    cell_x_np = np.clip((xs_np - (min_b + 3)) // w_cell, 0, n_cols - 1)
+    cell_y_np = np.clip((ys_np - (min_b + 3)) // h_cell, 0, n_rows - 1)
+    cell_x_np = np.broadcast_to(cell_x_np, (H, W))
+    cell_y_np = np.broadcast_to(cell_y_np, (H, W))
 
-    cell_x = (xs - (min_b + 3)) // w_cell
-    cell_y = (ys - (min_b + 3)) // h_cell
+    def np_shift(a, dx, dy, fill):
+        out = np.full_like(a, fill)
+        ys0, ys1 = max(0, -dy), min(H, H - dy)
+        xs0, xs1 = max(0, -dx), min(W, W - dx)
+        out[ys0:ys1, xs0:xs1] = a[ys0 + dy : ys1 + dy, xs0 + dx : xs1 + dx]
+        return out
+
+    same_masks = {}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            same_masks[(dx, dy)] = jnp.asarray(
+                (np_shift(cell_x_np, dx, dy, -1) == cell_x_np)
+                & (np_shift(cell_y_np, dx, dy, -1) == cell_y_np)
+            )
+    in_region = jnp.asarray(in_region_np)
+
+    def shift2(a, dx, dy):
+        return jax.lax.dynamic_slice(
+            jnp.pad(a, ((1, 1), (1, 1))), (1 + dy, 1 + dx), (H, W)
+        )
 
     def nonmax(th: int):
         cand = (score >= th) & in_region
@@ -128,25 +153,33 @@ def detect_keypoints(
             for dx in (-1, 0, 1):
                 if dx == 0 and dy == 0:
                     continue
-                ns = jnp.roll(jnp.roll(s, -dy, axis=0), -dx, axis=1)
-                ncx = jnp.roll(jnp.roll(cell_x, -dy, axis=0), -dx, axis=1)
-                ncy = jnp.roll(jnp.roll(cell_y, -dy, axis=0), -dx, axis=1)
-                same = (ncx == cell_x) & (ncy == cell_y)
-                keep &= s > jnp.where(same, ns, 0)
-        return cand, keep
+                ns = shift2(s, dx, dy)
+                keep &= s > jnp.where(same_masks[(dx, dy)], ns, 0)
+        return keep
 
-    _, keep_ini = nonmax(ini_th)
-    _, keep_min = nonmax(min_th)
+    keep_ini = nonmax(ini_th)
+    keep_min = nonmax(min_th)
 
     # Per-cell retry: use min_th survivors only in cells with no ini_th
-    # survivor (reference retries when FAST at iniTh returns empty).
-    n_cells = n_rows * n_cols
-    cell_id = jnp.where(in_region, cell_y * n_cols + cell_x, n_cells)
-    counts = jnp.zeros((n_cells + 1,), jnp.int32).at[cell_id.reshape(-1)].add(
-        keep_ini.reshape(-1).astype(jnp.int32)
+    # survivor.  Cells are uniform tiles, so the per-cell reduction is a
+    # pad + reshape pooling (no scatter).
+    Wp = n_cols * w_cell
+    Hp = n_rows * h_cell
+    x0, y0 = min_b + 3, min_b + 3
+    ki = keep_ini.astype(jnp.int32)
+    tile = jax.lax.dynamic_slice(
+        jnp.pad(ki, ((0, max(0, y0 + Hp - H)), (0, max(0, x0 + Wp - W)))),
+        (y0, x0), (Hp, Wp),
     )
-    cell_has_ini = counts[jnp.clip(cell_id, 0, n_cells)] > 0
-    keep = jnp.where(cell_has_ini, keep_ini, keep_min) & in_region
+    counts = tile.reshape(n_rows, h_cell, n_cols, w_cell).sum(axis=(1, 3))
+    has_ini = counts > 0  # (n_rows, n_cols)
+    # broadcast back to pixel grid
+    has_px = jnp.repeat(jnp.repeat(has_ini, h_cell, axis=0), w_cell, axis=1)
+    has_full = jnp.zeros((H, W), bool)
+    has_full = jax.lax.dynamic_update_slice(
+        jnp.zeros((max(H, y0 + Hp), max(W, x0 + Wp)), bool), has_px, (y0, x0)
+    )[:H, :W]
+    keep = jnp.where(has_full, keep_ini, keep_min) & in_region
     return keep, score
 
 
