@@ -19,11 +19,24 @@ from .tracking import Tracker, TrackState
 
 
 class System:
-    def __init__(self, cfg: Optional[SLAMConfig] = None, settings_yaml: Optional[str] = None):
+    def __init__(
+        self,
+        cfg: Optional[SLAMConfig] = None,
+        settings_yaml: Optional[str] = None,
+        vocab=None,
+        vocab_path: Optional[str] = None,
+    ):
         if cfg is None:
             cfg = load_yaml(settings_yaml) if settings_yaml else SLAMConfig()
         self.cfg = cfg
-        self.tracker = Tracker(cfg)
+        if vocab is None and vocab_path:
+            from ..place.vocab import Vocabulary, load_orbvoc_text
+
+            if vocab_path.endswith(".txt"):
+                vocab = load_orbvoc_text(vocab_path)
+            else:
+                vocab = Vocabulary.load(vocab_path)
+        self.tracker = Tracker(cfg, vocab=vocab)
 
     def track_monocular(self, img: np.ndarray, timestamp: float) -> TrackState:
         """Reference System::TrackMonocular (src/System.cc:346)."""

@@ -56,7 +56,7 @@ class Frame:
 
 
 class Tracker:
-    def __init__(self, cfg: SLAMConfig):
+    def __init__(self, cfg: SLAMConfig, vocab=None):
         self.cfg = cfg
         cam_cfg = cfg.camera
         self.cam = Pinhole.from_config(cam_cfg)
@@ -88,6 +88,9 @@ class Tracker:
         self.local_mapper = local_mapping.LocalMapper(
             self.project, self.scale_factors, self.inv_sigma2, self.K
         )
+        from .loop_closing import LoopCloser
+
+        self.loop_closer = LoopCloser(vocab, self.project)
         self._next_frame_id = 0
         self.init_frame: Optional[Frame] = None
         self.prev_matched: Optional[np.ndarray] = None
@@ -97,6 +100,7 @@ class Tracker:
         self.last_kf_frame_id = 0
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self._rng = np.random.default_rng(0)
+        self._frames_lost = 0
 
     # ------------------------------------------------------------ frames
 
@@ -130,19 +134,74 @@ class Tracker:
         """GrabImageMonocular + Track (reference Tracking.cc:1038, :1390)."""
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self._monocular_initialization(img, ts)
+        elif self.state == TrackState.LOST:
+            frame = self._make_frame(img, ts)
+            if self._relocalize(frame) and self._track_local_map(frame):
+                self.state = TrackState.OK
+                self.velocity = None
+            else:
+                self._frames_lost += 1
+                # Atlas recovery (reference Tracking.cc:1607-1625): enough
+                # map to keep -> start a fresh map, else reset in place
+                if self._frames_lost > 5:
+                    if len(self.atlas.current.keyframes) > 10:
+                        self._reset_map()
+                    else:
+                        self._reset_map()
+                        self.atlas.maps.pop(-2)  # discard the failed map
+                    self._frames_lost = 0
+            self.last_frame = frame
+            if frame.R is not None and self.state == TrackState.OK:
+                self.trajectory.append((ts, frame.R.copy(), frame.t.copy()))
         else:
             frame = self._make_frame(img, ts)
             ok = self._track_frame(frame)
             if ok:
                 self.state = TrackState.OK
+                self._frames_lost = 0
             else:
-                # reference: RECENTLY_LOST then reset map or relocalize;
-                # Atlas recovery: with enough KFs start a new map
                 self.state = TrackState.LOST
             self.last_frame = frame
-            if frame.R is not None:
+            if frame.R is not None and ok:
                 self.trajectory.append((ts, frame.R.copy(), frame.t.copy()))
         return self.state
+
+    def _relocalize(self, frame: Frame) -> bool:
+        """Relocalization (reference Tracking.cc:3184): place-recognition
+        candidates + descriptor matching + pose optimisation.  The MLPnP
+        RANSAC initial guess is replaced by the candidate keyframe's pose
+        (valid when revisiting a mapped view)."""
+        mp = self.atlas.current
+        db = self.loop_closer.db
+        candidates = []
+        if db is not None:
+            candidates = [
+                k for k, _ in db.query(frame.desc, valid=frame.valid, n_best=3)
+            ]
+        if not candidates:
+            # fallback: most recent keyframes
+            candidates = sorted(mp.keyframes.keys())[-3:]
+        for cand in candidates:
+            if cand not in mp.keyframes:
+                continue
+            kf = mp.keyframes[cand]
+            m12, _ = fm.mutual_best_match(
+                frame.feats.desc, frame.feats.valid,
+                jnp.asarray(kf.desc), jnp.asarray(kf.valid & (kf.kp_mp >= 0)),
+            )
+            m12 = np.asarray(m12)
+            frame.kp_mp[:] = INVALID
+            for i, j in enumerate(m12):
+                if j >= 0 and kf.kp_mp[j] >= 0 and mp.mp_valid[kf.kp_mp[j]]:
+                    frame.kp_mp[i] = kf.kp_mp[j]
+            if (frame.kp_mp >= 0).sum() < 15:
+                continue
+            frame.R = kf.R.copy()
+            frame.t = kf.t.copy()
+            if self._pose_opt(frame, min_inliers=20):
+                self.ref_kf = cand
+                return True
+        return False
 
     # ---------------------------------------------------- initialization
 
@@ -507,3 +566,10 @@ class Tracker:
         self.last_kf_frame_id = frame.frame_id
         # synchronous local mapping step (bounded work budget)
         self.local_mapper.process_keyframe(mp, kf.kid)
+        # loop closing (enabled when a vocabulary was provided)
+        if self.loop_closer.process_keyframe(mp, kf.kid):
+            # poses/points moved under us: drop the motion model and
+            # refresh the frame pose from the corrected keyframe
+            self.velocity = None
+            frame.R = mp.keyframes[kf.kid].R.copy()
+            frame.t = mp.keyframes[kf.kid].t.copy()
