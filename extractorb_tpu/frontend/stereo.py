@@ -1,0 +1,136 @@
+"""Stereo matching: per-keypoint disparity/depth from a rectified pair.
+
+Replaces Frame::ComputeStereoMatches (reference: src/Frame.cc:813-991):
+row-banded Hamming search (band 2*scale[octaveR], levels +-1, disparity
+in [0, bf/b]), then SAD sub-pixel refinement with an 11x11
+centre-subtracted window slid +-5 px at the left keypoint's pyramid
+level, parabola interpolation, and a median-distance outlier cut
+(1.5*1.4*median).
+
+TPU design: the candidate search is a masked dense Hamming matrix (one
+MXU matmul); the SAD refinement gathers one 11x11 left window and one
+11x21 right strip per keypoint with vmapped dynamic_slice and evaluates
+all 11 shifts as one tensor op.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .matcher import TH_HIGH, TH_LOW, hamming_matrix
+
+TH_ORB = (TH_HIGH + TH_LOW) // 2  # 75
+
+
+class StereoMatches(NamedTuple):
+    u_right: jnp.ndarray   # (NL,) refined right-image u or -1
+    depth: jnp.ndarray     # (NL,) metric depth or -1
+    valid: jnp.ndarray     # (NL,) bool
+
+
+@functools.partial(jax.jit, static_argnums=(10, 11, 12))
+def compute_stereo_matches(
+    xy_l, octave_l, desc_l, valid_l,
+    xy_r, octave_r, desc_r, valid_r,
+    pyr_l_bordered, pyr_r_bordered,
+    scale_factors: Tuple[float, ...],
+    bf: float,
+    baseline: float,
+) -> StereoMatches:
+    """bf = fx * baseline (Camera.bf); baseline = b (metres).
+    pyr_*_bordered: tuples of bordered pyramid level images (uint8)."""
+    NL = xy_l.shape[0]
+    scales = jnp.asarray(scale_factors, jnp.float32)
+    inv_scales = 1.0 / scales
+    maxD = jnp.float32(bf / baseline)  # reference: mbf / minZ, minZ = mb
+    minD = jnp.float32(0.0)
+
+    # --- banded Hamming search (reference :829-895)
+    dist = hamming_matrix(desc_l, desc_r)  # (NL, NR)
+    rowband = 2.0 * scales[jnp.clip(octave_r, 0, len(scale_factors) - 1)]
+    dy = jnp.abs(xy_l[:, 1:2] - xy_r[None, :, 1])
+    band_ok = dy <= rowband[None, :] + 1.0  # reference ceil/floor slack
+    lvl_ok = (octave_r[None, :] >= (octave_l - 1)[:, None]) & (
+        octave_r[None, :] <= (octave_l + 1)[:, None]
+    )
+    du = xy_l[:, 0:1] - xy_r[None, :, 0]  # candidate disparities
+    disp_ok = (du >= minD) & (du <= maxD)
+    mask = band_ok & lvl_ok & disp_ok & valid_l[:, None] & valid_r[None, :]
+
+    INF = jnp.int32(1 << 20)
+    d = jnp.where(mask, dist, INF)
+    best = jnp.min(d, axis=1)
+    best_idx = jnp.argmin(d, axis=1)
+    cand_ok = best < TH_ORB
+
+    # --- SAD sub-pixel refinement (reference :896-960)
+    w, L = 5, 5
+    border = 19
+
+    def refine(iL):
+        lvl = jnp.clip(octave_l[iL], 0, len(scale_factors) - 1)
+        inv = inv_scales[lvl]
+        uL = jnp.round(xy_l[iL, 0] * inv).astype(jnp.int32)
+        vL = jnp.round(xy_l[iL, 1] * inv).astype(jnp.int32)
+        uR0 = jnp.round(xy_r[best_idx[iL], 0] * inv).astype(jnp.int32)
+
+        def make_branch(bl, br):
+            def branch():
+                il = jax.lax.dynamic_slice(
+                    bl, (vL - w + border, uL - w + border), (11, 11)
+                ).astype(jnp.int32)
+                ir = jax.lax.dynamic_slice(
+                    br, (vL - w + border, uR0 - L - w + border), (11, 11 + 2 * L)
+                ).astype(jnp.int32)
+                return il, ir
+
+            return branch
+
+        il, ir = jax.lax.switch(
+            lvl,
+            [make_branch(bl, br) for bl, br in zip(pyr_l_bordered, pyr_r_bordered)],
+        )
+        il = il - il[w, w]
+        sads = []
+        for inc in range(2 * L + 1):
+            win = jax.lax.dynamic_slice(ir, (0, inc), (11, 11))
+            win = win - win[w, w]
+            sads.append(jnp.sum(jnp.abs(il - win)))
+        sads = jnp.stack(sads).astype(jnp.float32)  # (11,)
+        best_inc = jnp.argmin(sads)
+        interior = (best_inc > 0) & (best_inc < 2 * L)
+        bi = jnp.clip(best_inc, 1, 2 * L - 1)
+        d1, d2, d3 = sads[bi - 1], sads[bi], sads[bi + 1]
+        denom = 2.0 * (d1 + d3 - 2.0 * d2)
+        delta = jnp.where(jnp.abs(denom) > 1e-9, (d1 - d3) / denom, 2.0)
+        delta_ok = (delta >= -1.0) & (delta <= 1.0)
+        best_u_r = scales[lvl] * (
+            uR0.astype(jnp.float32) + (bi - L).astype(jnp.float32) + delta
+        )
+        return best_u_r, sads[bi], interior & delta_ok
+
+    u_r, sad, ref_ok = jax.vmap(refine)(jnp.arange(NL))
+    disparity = xy_l[:, 0] - u_r
+    disp_in = (disparity >= minD) & (disparity < maxD)
+    # clamp tiny disparities like the reference
+    u_r = jnp.where(disparity <= 0, xy_l[:, 0] - 0.01, u_r)
+    disparity = jnp.where(disparity <= 0, 0.01, disparity)
+    ok = cand_ok & ref_ok & disp_in & valid_l
+
+    # median SAD outlier cut
+    sad_masked = jnp.where(ok, sad, jnp.inf)
+    n_ok = jnp.sum(ok.astype(jnp.int32))
+    srt = jnp.sort(sad_masked)
+    median = srt[jnp.clip(n_ok // 2, 0, NL - 1)]
+    ok = ok & (sad < 1.5 * 1.4 * median)
+
+    depth = jnp.float32(bf) / disparity
+    return StereoMatches(
+        u_right=jnp.where(ok, u_r, -1.0),
+        depth=jnp.where(ok, depth, -1.0),
+        valid=ok,
+    )
