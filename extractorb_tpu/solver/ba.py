@@ -21,13 +21,13 @@ keyframes/points are masked out of the update (g2o's setFixed).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..core import lie
-from .robust import CHI2_MONO, DELTA_MONO, huber_weight
+from .robust import CHI2_MONO, CHI2_STEREO, DELTA_MONO, DELTA_STEREO, huber_weight
 
 
 class BAProblem(NamedTuple):
@@ -41,6 +41,7 @@ class BAProblem(NamedTuple):
     obs_valid: jnp.ndarray    # (O,) bool
     fixed_kf: jnp.ndarray     # (K,) bool
     fixed_mp: jnp.ndarray     # (P,) bool
+    obs_ur: Optional[jnp.ndarray] = None  # (O,) right-image u; <0 = mono
 
 
 class BAResult(NamedTuple):
@@ -51,34 +52,45 @@ class BAResult(NamedTuple):
     cost: jnp.ndarray
 
 
-def _obs_residual_jac(R, t, points, p: BAProblem, project):
-    """Residuals (O,2) + Jacobians wrt pose tangent (O,2,6) and point
-    (O,2,3), evaluated at the current estimate."""
+def _obs_residual_jac(R, t, points, p: BAProblem, project, bf: float = 0.0):
+    """Residuals + Jacobians wrt pose tangent and point at the current
+    estimate.  Mono: (O,2)/(O,2,6)/(O,2,3).  When p.obs_ur is set the
+    residual is 3-dim with the stereo component u_r - (u' - bf/z)
+    masked to 0 for mono observations (reference EdgeStereo,
+    G2oTypes.h:422)."""
     Rk = R[p.obs_kf]
     tk = t[p.obs_kf]
     pw = points[p.obs_mp]
     uv = p.obs_uv
+    stereo = p.obs_ur is not None
+    ur = p.obs_ur if stereo else None
 
-    def r_fn(delta, dp, Rk1, tk1, pw1, uv1):
+    def r_fn(delta, dp, Rk1, tk1, pw1, uv1, ur1):
         dR, dt = lie.se3_exp(delta)
         Rn = Rk1 @ dR
         tn = Rk1 @ dt + tk1
         pc = Rn @ (pw1 + dp) + tn
-        return uv1 - project(pc)
+        duv = uv1 - project(pc)
+        if not stereo:
+            return duv
+        u_proj_r = project(pc)[0] - bf / pc[2]
+        r3 = jnp.where(ur1 >= 0, ur1 - u_proj_r, 0.0)
+        return jnp.concatenate([duv, r3[None]])
 
     zero6 = jnp.zeros(6, points.dtype)
     zero3 = jnp.zeros(3, points.dtype)
 
-    def per_obs(Rk1, tk1, pw1, uv1):
-        r = r_fn(zero6, zero3, Rk1, tk1, pw1, uv1)
-        Jp = jax.jacfwd(r_fn, argnums=0)(zero6, zero3, Rk1, tk1, pw1, uv1)
-        Jl = jax.jacfwd(r_fn, argnums=1)(zero6, zero3, Rk1, tk1, pw1, uv1)
+    def per_obs(Rk1, tk1, pw1, uv1, ur1):
+        r = r_fn(zero6, zero3, Rk1, tk1, pw1, uv1, ur1)
+        Jp = jax.jacfwd(r_fn, argnums=0)(zero6, zero3, Rk1, tk1, pw1, uv1, ur1)
+        Jl = jax.jacfwd(r_fn, argnums=1)(zero6, zero3, Rk1, tk1, pw1, uv1, ur1)
         return r, Jp, Jl
 
-    return jax.vmap(per_obs)(Rk, tk, pw, uv)
+    ur_arg = ur if stereo else jnp.full(uv.shape[0], -1.0, points.dtype)
+    return jax.vmap(per_obs)(Rk, tk, pw, uv, ur_arg)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def optimize(
     p: BAProblem,
     project,
@@ -86,8 +98,19 @@ def optimize(
     cg_iters: int = 40,
     use_huber: bool = True,
     chi2_outlier: float = CHI2_MONO,
+    bf: float = 0.0,
 ) -> BAResult:
-    """LM bundle adjustment.  project: cam point (3,) -> pixel (2,)."""
+    """LM bundle adjustment.  project: cam point (3,) -> pixel (2,).
+
+    With p.obs_ur set, stereo observations (ur >= 0) use the 3-dim
+    residual, Huber delta sqrt(7.815) and the stereo chi2 gate."""
+    stereo = p.obs_ur is not None
+    if stereo:
+        delta_h = jnp.where(p.obs_ur >= 0, DELTA_STEREO, DELTA_MONO)
+        chi2_th = jnp.where(p.obs_ur >= 0, CHI2_STEREO, chi2_outlier)
+    else:
+        delta_h = DELTA_MONO
+        chi2_th = chi2_outlier
     K = p.R.shape[0]
     P = p.points.shape[0]
     dtype = p.points.dtype
@@ -96,9 +119,9 @@ def optimize(
     free_mp = (~p.fixed_mp).astype(dtype)[:, None]      # (P,1)
 
     def build(R, t, points):
-        r, Jp, Jl = _obs_residual_jac(R, t, points, p, project)
+        r, Jp, Jl = _obs_residual_jac(R, t, points, p, project, bf)
         chi2 = jnp.sum(r * r, -1) * p.inv_sigma2
-        w = huber_weight(chi2, DELTA_MONO) if use_huber else jnp.ones_like(chi2)
+        w = huber_weight(chi2, delta_h) if use_huber else jnp.ones_like(chi2)
         w = w * p.inv_sigma2 * p.obs_valid.astype(dtype)
         return r, Jp, Jl, w, chi2
 
@@ -188,11 +211,11 @@ def optimize(
         pn = points + dl
 
         def total_cost(Rc, tc, pc):
-            rr2, _, _ = _obs_residual_jac(Rc, tc, pc, p, project)
+            rr2, _, _ = _obs_residual_jac(Rc, tc, pc, p, project, bf)
             c2 = jnp.sum(rr2 * rr2, -1) * p.inv_sigma2
             if use_huber:
-                d2 = DELTA_MONO * DELTA_MONO
-                rho = jnp.where(c2 <= d2, c2, 2.0 * DELTA_MONO * jnp.sqrt(c2) - d2)
+                d2 = delta_h * delta_h
+                rho = jnp.where(c2 <= d2, c2, 2.0 * delta_h * jnp.sqrt(c2) - d2)
             else:
                 rho = c2
             return jnp.sum(jnp.where(p.obs_valid, rho, 0.0))
@@ -211,7 +234,7 @@ def optimize(
     state, _ = jax.lax.scan(lm_step, state, None, length=n_iters)
     R, t, points, _, cost = state
 
-    r, _, _ = _obs_residual_jac(R, t, points, p, project)
+    r, _, _ = _obs_residual_jac(R, t, points, p, project, bf)
     chi2 = jnp.sum(r * r, -1) * p.inv_sigma2
-    inliers = p.obs_valid & (chi2 <= chi2_outlier)
+    inliers = p.obs_valid & (chi2 <= chi2_th)
     return BAResult(R=R, t=t, points=points, inliers=inliers, cost=cost)

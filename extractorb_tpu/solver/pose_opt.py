@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
-from .robust import CHI2_MONO, DELTA_MONO, huber_weight
+from .robust import CHI2_MONO, CHI2_STEREO, DELTA_MONO, DELTA_STEREO, huber_weight
 
 
 class PoseOptResult(NamedTuple):
@@ -32,48 +32,62 @@ class PoseOptResult(NamedTuple):
     n_inliers: jnp.ndarray  # () int32
 
 
-def _residuals_and_jac(R, t, pts_w, obs_uv, project):
+def _residuals_and_jac(R, t, pts_w, obs_uv, project, obs_ur=None, bf=0.0):
     """r_i(delta) = obs - project((R,t) * Exp(delta) applied to p).
 
-    Returns residuals (N,2) and Jacobian d r / d delta (N,2,6) at delta=0.
+    Returns residuals (N,2) and Jacobian (N,2,6) at delta=0; with obs_ur
+    given, 3-dim stereo residuals (third component masked for mono).
     """
+    stereo = obs_ur is not None
 
-    def r_of_delta(delta, p, uv):
+    def r_of_delta(delta, p, uv, ur):
         dR, dt = lie.se3_exp(delta)
         Rn = R @ dR
         tn = R @ dt + t
         pc = Rn @ p + tn
-        return uv - project(pc)
+        duv = uv - project(pc)
+        if not stereo:
+            return duv
+        u_r = project(pc)[0] - bf / pc[2]
+        return jnp.concatenate([duv, jnp.where(ur >= 0, ur - u_r, 0.0)[None]])
 
-    def per_obs(p, uv):
+    def per_obs(p, uv, ur):
         zero = jnp.zeros(6, pts_w.dtype)
-        r = r_of_delta(zero, p, uv)
-        J = jax.jacfwd(r_of_delta)(zero, p, uv)
+        r = r_of_delta(zero, p, uv, ur)
+        J = jax.jacfwd(r_of_delta)(zero, p, uv, ur)
         return r, J
 
-    return jax.vmap(per_obs)(pts_w, obs_uv)
+    ur_arg = obs_ur if stereo else jnp.full(obs_uv.shape[0], -1.0, pts_w.dtype)
+    return jax.vmap(per_obs)(pts_w, obs_uv, ur_arg)
 
 
-@functools.partial(jax.jit, static_argnums=(6,))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def optimize_pose(
     R0, t0, pts_w, obs_uv, inv_sigma2, valid, project,
-    n_rounds: int = 4, n_iters: int = 10,
+    n_rounds: int = 4, n_iters: int = 10, bf: float = 0.0,
+    obs_ur=None,
 ):
     """Run the reference's 4x10 robust pose optimisation.
 
     project: camera-frame point (3,) -> pixel (2,) (static callable).
-    Returns PoseOptResult.  Invalid slots never contribute.
+    Returns PoseOptResult.  Invalid slots never contribute.  With obs_ur
+    given (stereo), the 3-dim residual + stereo thresholds apply per obs.
     """
-    chi2_th = CHI2_MONO
+    if obs_ur is not None:
+        chi2_th = jnp.where(obs_ur >= 0, CHI2_STEREO, CHI2_MONO)
+        delta_h = jnp.where(obs_ur >= 0, DELTA_STEREO, DELTA_MONO)
+    else:
+        chi2_th = CHI2_MONO
+        delta_h = DELTA_MONO
 
     def lm_iters(carry, use_huber):
         R, t, active = carry
 
         def one_iter(state, _):
             R, t, lam = state
-            r, J = _residuals_and_jac(R, t, pts_w, obs_uv, project)
+            r, J = _residuals_and_jac(R, t, pts_w, obs_uv, project, obs_ur, bf)
             chi2 = jnp.sum(r * r, -1) * inv_sigma2
-            w = jnp.where(use_huber, huber_weight(chi2, DELTA_MONO), 1.0)
+            w = jnp.where(use_huber, huber_weight(chi2, delta_h), 1.0)
             w = w * inv_sigma2 * active.astype(r.dtype)
             Jw = J * w[:, None, None]
             H = jnp.einsum("nio,nij->oj", Jw, J)
@@ -87,11 +101,11 @@ def optimize_pose(
             tn = R @ dt + t
             # accept if cost decreased, else raise lambda (Levenberg)
             def cost(Rc, tc):
-                rr, _ = _residuals_and_jac(Rc, tc, pts_w, obs_uv, project)
+                rr, _ = _residuals_and_jac(Rc, tc, pts_w, obs_uv, project, obs_ur, bf)
                 c2 = jnp.sum(rr * rr, -1) * inv_sigma2
-                d2 = DELTA_MONO * DELTA_MONO
+                d2 = delta_h * delta_h
                 rho = jnp.where(
-                    c2 <= d2, c2, 2.0 * DELTA_MONO * jnp.sqrt(c2) - d2
+                    c2 <= d2, c2, 2.0 * delta_h * jnp.sqrt(c2) - d2
                 )
                 rho = jnp.where(use_huber, rho, c2)
                 return jnp.sum(jnp.where(active, rho, 0.0))
@@ -108,7 +122,7 @@ def optimize_pose(
             one_iter, (R, t, jnp.asarray(1e-3, R.dtype)), None, length=n_iters
         )
         # outlier re-classification for the next round
-        r, _ = _residuals_and_jac(R, t, pts_w, obs_uv, project)
+        r, _ = _residuals_and_jac(R, t, pts_w, obs_uv, project, obs_ur, bf)
         chi2 = jnp.sum(r * r, -1) * inv_sigma2
         active = valid & (chi2 <= chi2_th)
         return (R, t, active), None

