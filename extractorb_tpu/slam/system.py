@@ -79,5 +79,34 @@ class System:
                     f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
                 )
 
+    def save_trajectory_euroc(self, path: str):
+        """SaveTrajectoryEuRoC (reference src/System.cc:573): nanosecond
+        timestamps, 'ts tx ty tz qx qy qz qw'."""
+        import jax.numpy as jnp
+
+        with open(path, "w") as f:
+            for ts, R, t in self.tracker.trajectory:
+                Rwc = R.T
+                twc = -R.T @ t
+                q = np.asarray(lie.rot_to_quat(jnp.asarray(Rwc)))
+                f.write(
+                    f"{ts * 1e9:.0f} {twc[0]:.9f} {twc[1]:.9f} {twc[2]:.9f} "
+                    f"{q[1]:.9f} {q[2]:.9f} {q[3]:.9f} {q[0]:.9f}\n"
+                )
+
+    def save_trajectory_kitti(self, path: str):
+        """SaveTrajectoryKITTI (reference src/System.cc:748): one 3x4
+        row-major camera-to-world matrix per line."""
+        with open(path, "w") as f:
+            for _, R, t in self.tracker.trajectory:
+                Rwc = R.T
+                twc = -R.T @ t
+                vals = [
+                    Rwc[0, 0], Rwc[0, 1], Rwc[0, 2], twc[0],
+                    Rwc[1, 0], Rwc[1, 1], Rwc[1, 2], twc[1],
+                    Rwc[2, 0], Rwc[2, 1], Rwc[2, 2], twc[2],
+                ]
+                f.write(" ".join(f"{v:.9e}" for v in vals) + "\n")
+
     def shutdown(self):
         pass
