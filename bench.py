@@ -25,9 +25,16 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 BASELINE_FPS = 30.0
-N_LONG = 64
+N_LONG = 32
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def main():
@@ -105,21 +112,29 @@ def main():
 
         return run
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ["JAX_COMPILATION_CACHE_DIR"],
+    )
     prev = ext(img)
-    run1 = make_runner(1)
     runN = make_runner(N_LONG)
-    # compile + warm both programs
-    float(run1(img, prev, jnp.float32(0.0)))
+    # compile + warm (one program only: remote AOT compiles are slow)
     float(runN(img, prev, jnp.float32(0.0)))
 
-    def timed(fn, seed):
-        t0 = time.perf_counter()
-        float(fn(img, prev, jnp.float32(seed)))
-        return time.perf_counter() - t0
+    # fetch/dispatch overhead estimated with a trivial program
+    @jax.jit
+    def tiny(seed):
+        return seed + 1.0
 
-    t1 = min(timed(run1, s) for s in (1.0, 2.0, 3.0))
-    tN = min(timed(runN, s) for s in (4.0, 5.0, 6.0))
-    per_frame = max((tN - t1) / (N_LONG - 1), 1e-9)
+    float(tiny(jnp.float32(0.0)))
+    t_overhead = min(
+        _timed(lambda: float(tiny(jnp.float32(s)))) for s in (1.0, 2.0, 3.0)
+    )
+    tN = min(
+        _timed(lambda: float(runN(img, prev, jnp.float32(s))))
+        for s in (4.0, 5.0, 6.0)
+    )
+    per_frame = max((tN - t_overhead) / N_LONG, 1e-9)
     fps = 1.0 / per_frame
 
     print(

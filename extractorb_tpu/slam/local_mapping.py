@@ -140,11 +140,14 @@ class LocalMapper:
     # ----------------------------------------------------------- pipeline
 
     def process_keyframe(self, mp: SLAMMap, kf_id: int):
-        """ProcessNewKeyFrame + culling + CreateNewMapPoints + local BA
+        """ProcessNewKeyFrame + culling + CreateNewMapPoints +
+        SearchInNeighbors fuse + local BA + KeyFrameCulling
         (reference LocalMapping::Run body, :78-230)."""
         self._cull_map_points(mp)
         self._create_new_points(mp, kf_id)
+        self._fuse_neighbors(mp, kf_id)
         self._local_ba(mp, kf_id)
+        self._cull_keyframes(mp, kf_id)
 
     def _cull_map_points(self, mp: SLAMMap):
         """MapPointCulling (reference :341): drop points with found/visible
@@ -285,6 +288,129 @@ class LocalMapper:
             mp.add_observation(mid, kf2.kid, i2)
             mp.update_point_stats(mid)
             self.recent_points.append(mid)
+
+    def _fuse_neighbors(self, mp: SLAMMap, kf_id: int, n_neighbors: int = 10):
+        """SearchInNeighbors (reference LocalMapping.cc:729): project the
+        covisible neighbours' map points into the new keyframe and attach
+        or merge; then the symmetric pass."""
+        kf1 = mp.keyframes[kf_id]
+        neighbors = [k for k, _ in mp.covisible_keyframes(kf_id, 1)[:n_neighbors]]
+        if not neighbors:
+            return
+        # pass 1: neighbours' points -> kf1
+        pts = mp.points_seen_by(neighbors)
+        self._fuse_into(mp, kf_id, pts)
+        # pass 2: kf1's points -> each neighbour
+        own = mp.points_seen_by([kf_id])
+        for nk in neighbors:
+            self._fuse_into(mp, nk, own)
+
+    def _fuse_into(self, mp: SLAMMap, kf_id: int, pt_ids: np.ndarray):
+        kf = mp.keyframes[kf_id]
+        # drop points already observed by this keyframe
+        pt_ids = np.asarray(
+            [p for p in pt_ids if kf_id not in mp.obs.get(int(p), {})],
+            np.int32,
+        )
+        if len(pt_ids) == 0:
+            return
+        M = 4096
+        pt_ids = pt_ids[:M]
+        k = len(pt_ids)
+        mp_pos = np.zeros((M, 3), np.float32)
+        mp_desc = np.zeros((M, 32), np.uint8)
+        mp_norm = np.zeros((M, 3), np.float32)
+        mp_maxd = np.ones((M,), np.float32)
+        mp_val = np.zeros((M,), bool)
+        mp_pos[:k] = mp.mp_pos[pt_ids]
+        mp_desc[:k] = mp.mp_desc[pt_ids]
+        mp_norm[:k] = mp.mp_normal[pt_ids]
+        mp_maxd[:k] = mp.mp_max_dist[pt_ids]
+        mp_val[:k] = mp.mp_valid[pt_ids]
+
+        img_wh = (1e9, 1e9)  # frustum bound handled by projection checks
+        matches = np.asarray(
+            fm.search_by_projection_local_map(
+                jnp.asarray(mp_pos), jnp.asarray(mp_desc), jnp.asarray(mp_val),
+                jnp.asarray(mp_norm), jnp.asarray(mp_maxd),
+                jnp.asarray(kf.R), jnp.asarray(kf.t),
+                jnp.asarray(kf.xy_un), kf.feats.desc, kf.feats.octave,
+                jnp.asarray(kf.valid), None,
+                self.project, self.scale_factors, img_wh,
+                0.75,  # reference Fuse radius 3.0*scale (vs 4.0 base here)
+            )
+        )
+        for row in np.where(matches >= 0)[0]:
+            p = int(pt_ids[row])
+            kp = int(matches[row])
+            existing = int(kf.kp_mp[kp])
+            if existing >= 0 and mp.mp_valid[existing]:
+                # merge: keep the point with more observations
+                if mp.n_observations(existing) >= mp.n_observations(p):
+                    keep, drop = existing, p
+                else:
+                    keep, drop = p, existing
+                if keep == drop:
+                    continue
+                for okf, okp in list(mp.obs.get(drop, {}).items()):
+                    if okf not in mp.obs.get(keep, {}):
+                        mp.obs[keep][okf] = okp
+                        mp.keyframes[okf].kp_mp[okp] = keep
+                    else:
+                        if mp.keyframes[okf].kp_mp[okp] == drop:
+                            mp.keyframes[okf].kp_mp[okp] = -1
+                mp.obs[drop] = {}
+                mp.remove_point(drop)
+                mp.update_point_stats(keep)
+            else:
+                mp.add_observation(p, kf_id, kp)
+                mp.update_point_stats(p)
+
+    def _cull_keyframes(self, mp: SLAMMap, kf_id: int):
+        """KeyFrameCulling (reference :935): a covisible keyframe is
+        redundant if >=90% of its map points are observed by >=3 other
+        keyframes at the same or finer scale."""
+        for cand, _ in mp.covisible_keyframes(kf_id, 1):
+            kf = mp.keyframes.get(cand)
+            if kf is None or cand <= 1:  # keep the initial pair
+                continue
+            kp_rows = np.where(kf.kp_mp >= 0)[0]
+            if len(kp_rows) < 10:
+                continue
+            n_redundant = 0
+            n_pts = 0
+            for kp in kp_rows:
+                p = int(kf.kp_mp[kp])
+                if not mp.mp_valid[p]:
+                    continue
+                n_pts += 1
+                lvl = int(kf.octave[kp])
+                n_better = 0
+                for okf_id, okp in mp.obs.get(p, {}).items():
+                    if okf_id == cand:
+                        continue
+                    okf = mp.keyframes.get(okf_id)
+                    if okf is not None and int(okf.octave[okp]) <= lvl + 1:
+                        n_better += 1
+                        if n_better >= 3:
+                            break
+                if n_better >= 3:
+                    n_redundant += 1
+            if n_pts > 0 and n_redundant > 0.9 * n_pts:
+                self._remove_keyframe(mp, cand)
+
+    def _remove_keyframe(self, mp: SLAMMap, kf_id: int):
+        """SetBadFlag analog: detach all observations and drop the KF."""
+        kf = mp.keyframes.get(kf_id)
+        if kf is None:
+            return
+        for kp in np.where(kf.kp_mp >= 0)[0]:
+            p = int(kf.kp_mp[kp])
+            if p in mp.obs and kf_id in mp.obs[p]:
+                mp.erase_observation(p, kf_id)
+        kf.is_bad = True
+        del mp.keyframes[kf_id]
+        mp.version += 1
 
     def _local_ba(self, mp: SLAMMap, kf_id: int):
         """LocalBundleAdjustment window build (reference Optimizer.cc:1698):

@@ -172,10 +172,14 @@ class SLAMMap:
             dist = (bits[:, None, :] != bits[None, :, :]).sum(-1)
             med = np.median(dist, axis=1)
             self.mp_desc[mp] = D[int(np.argmin(med))]
-        # reference: maxDist = dist(refKF) * scaleFactor^octave
-        ref_id = self.mp_first_kf[mp]
-        kf = self.keyframes.get(int(ref_id)) or self.keyframes[next(iter(o))]
-        kp = o.get(kf.kid, next(iter(o.values())))
+        # reference: maxDist = dist(refKF) * scaleFactor^octave; fall back
+        # to any observing keyframe, keeping the (kf, kp) pair consistent
+        ref_id = int(self.mp_first_kf[mp])
+        if ref_id in self.keyframes and ref_id in o:
+            kf_id, kp = ref_id, o[ref_id]
+        else:
+            kf_id, kp = next(iter(o.items()))
+        kf = self.keyframes[kf_id]
         d = np.linalg.norm(pos - kf.center())
         level = int(kf.octave[kp])
         self.mp_max_dist[mp] = d * (1.2 ** level)

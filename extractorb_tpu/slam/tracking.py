@@ -455,6 +455,10 @@ class Tracker:
         mp = self.atlas.current
         if self.ref_kf is None:
             return False
+        if self.ref_kf not in mp.keyframes:  # culled by local mapping
+            if not mp.keyframes:
+                return False
+            self.ref_kf = max(mp.keyframes.keys())
         # local keyframes: ref KF + covisibles (reference UpdateLocalKeyFrames)
         local_kfs = [self.ref_kf] + [
             k for k, _ in mp.covisible_keyframes(self.ref_kf, min_weight=1)[:10]
