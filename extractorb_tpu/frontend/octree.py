@@ -71,6 +71,30 @@ def distribute_host(
     min_y: int,
     max_y: int,
     n_target: int,
+    use_native: bool = True,
+) -> np.ndarray:
+    if use_native:
+        from ..native import distribute_octree_native
+
+        out = distribute_octree_native(
+            xs, ys, responses, min_x, max_x, min_y, max_y, n_target
+        )
+        if out is not None:
+            return out
+    return _distribute_host_py(
+        xs, ys, responses, min_x, max_x, min_y, max_y, n_target
+    )
+
+
+def _distribute_host_py(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    responses: np.ndarray,
+    min_x: int,
+    max_x: int,
+    min_y: int,
+    max_y: int,
+    n_target: int,
 ) -> np.ndarray:
     """Exact DistributeOctTree; coordinates are ABSOLUTE inner-image
     coords (the reference works on coords relative to minX/minY — we

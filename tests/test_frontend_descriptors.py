@@ -133,3 +133,21 @@ def test_extractor_end_to_end_device(luna_gray):
         cd = int((np.asarray(feats.octave)[np.asarray(feats.valid)] == lvl).sum())
         ch = int((np.asarray(fh.octave)[np.asarray(fh.valid)] == lvl).sum())
         assert cd >= 0.5 * ch, (lvl, cd, ch)
+
+
+def test_native_octree_matches_python(luna_gray, rng):
+    """The C++ DistributeOctTree must agree with the python-exact one."""
+    from extractorb_tpu.frontend import octree as foct
+    from extractorb_tpu.native import distribute_octree_native
+
+    n = 3000
+    xs = rng.uniform(16, 480, n).astype(np.float32)
+    ys = rng.uniform(16, 460, n).astype(np.float32)
+    resp = rng.integers(7, 200, n).astype(np.float32)
+    args = (xs, ys, resp, 16, 496, 16, 464, 250)
+    out_c = distribute_octree_native(*args)
+    assert out_c is not None, "native build failed"
+    out_py = foct._distribute_host_py(*args)
+    assert set(out_c.tolist()) == set(out_py.tolist()), (
+        len(out_c), len(out_py), len(set(out_c.tolist()) ^ set(out_py.tolist()))
+    )
