@@ -127,9 +127,13 @@ def integrate(
 
 
 def delta_rotation(p: Preintegrated, new_bias: jnp.ndarray):
-    """GetDeltaRotation(b') = dR Exp(JRg (bg'-bg)) (ImuTypes.cc:357)."""
+    """GetDeltaRotation(b') = dR Exp(JRg (bg'-bg)) (ImuTypes.cc:357).
+
+    No SVD re-normalization: this is differentiated inside the inertial
+    residuals and the SVD jacobian is NaN at a rotation's repeated
+    singular values; p.dR is normalized at integration time."""
     dbg = new_bias[:3] - p.bias[:3]
-    return lie.normalize_rotation(p.dR @ lie.so3_exp(p.JRg @ dbg))
+    return p.dR @ lie.so3_exp(p.JRg @ dbg)
 
 
 def delta_velocity(p: Preintegrated, new_bias: jnp.ndarray):

@@ -27,6 +27,7 @@ from ..frontend import matcher as fm
 from ..frontend.extractor import Features, ORBExtractor
 from ..geometry import two_view as tv
 from ..solver import ba as sba
+from ..solver import pnp
 from ..solver import pose_opt as spo
 from .map import INVALID, Atlas, KeyFrame, SLAMMap
 from . import local_mapping
@@ -168,9 +169,10 @@ class Tracker:
 
     def _relocalize(self, frame: Frame) -> bool:
         """Relocalization (reference Tracking.cc:3184): place-recognition
-        candidates + descriptor matching + pose optimisation.  The MLPnP
-        RANSAC initial guess is replaced by the candidate keyframe's pose
-        (valid when revisiting a mapped view)."""
+        candidates + descriptor matching + batched RANSAC PnP initial
+        pose (solver/pnp.py, the MLPnPsolver replacement) + robust pose
+        optimisation; falls back to the candidate keyframe's pose when
+        PnP fails."""
         mp = self.atlas.current
         db = self.loop_closer.db
         candidates = []
@@ -196,8 +198,24 @@ class Tracker:
                     frame.kp_mp[i] = kf.kp_mp[j]
             if (frame.kp_mp >= 0).sum() < 15:
                 continue
-            frame.R = kf.R.copy()
-            frame.t = kf.t.copy()
+            matched = frame.kp_mp >= 0
+            p3d = np.zeros((len(frame.kp_mp), 3), np.float32)
+            p3d[matched] = mp.mp_pos[frame.kp_mp[matched]]
+            fx, fy = self.K[0, 0], self.K[1, 1]
+            xy_n = (frame.xy_un - self.K[:2, 2]) / np.array(
+                [fx, fy], np.float32
+            )
+            res = pnp.ransac_pnp(
+                jnp.asarray(p3d), jnp.asarray(xy_n), jnp.asarray(matched),
+                jax.random.PRNGKey(frame.frame_id),
+                th=float(3.0 / fx), min_inliers=12,
+            )
+            if bool(res.ok):
+                frame.R = np.asarray(res.R)
+                frame.t = np.asarray(res.t)
+            else:
+                frame.R = kf.R.copy()
+                frame.t = kf.t.copy()
             if self._pose_opt(frame, min_inliers=20):
                 self.ref_kf = cand
                 return True

@@ -4,6 +4,7 @@ import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from extractorb_tpu.config import CameraConfig
 from extractorb_tpu.core.camera import (
@@ -13,7 +14,12 @@ from extractorb_tpu.core.camera import (
     undistort_points_pinhole,
 )
 
-jax.config.update("jax_enable_x64", True)
+@pytest.fixture(autouse=True)
+def _x64():
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", old)
 
 # TUM-VI 512 fisheye calibration hard-coded in the reference matcher demo
 # (src/matcher/main_matcher.cpp:95-100).

@@ -8,7 +8,12 @@ from scipy.spatial.transform import Rotation as Rsp
 
 from extractorb_tpu.core import lie
 
-jax.config.update("jax_enable_x64", True)
+@pytest.fixture(autouse=True)
+def _x64():
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", old)
 
 
 def random_w(rng, n=64, scale=2.0):

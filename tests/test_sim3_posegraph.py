@@ -8,7 +8,6 @@ from extractorb_tpu.core import lie
 from extractorb_tpu.geometry import sim3 as gsim3
 from extractorb_tpu.solver import pose_graph as pg
 
-jax.config.update("jax_enable_x64", False)
 
 FX, FY, CX, CY = 500.0, 500.0, 320.0, 240.0
 
