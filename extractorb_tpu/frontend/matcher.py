@@ -347,3 +347,293 @@ def search_for_triangulation(
     ].min(jnp.where(accept, claim_key, INF_KEY), mode="drop")
     final = accept & (winner[best_idx] == claim_key)
     return jnp.where(final, best_idx, -1)
+
+
+@functools.partial(jax.jit, static_argnums=(9,))
+def search_by_bow(
+    desc1, word1, angle1, valid1,
+    desc2, word2, angle2, valid2,
+    nn_ratio: float = 0.7,
+    check_rotation: bool = True,
+):
+    """ORBmatcher::SearchByBoW (reference ORBmatcher.cc:269 KF<->Frame and
+    :823 KF<->KF): candidates are restricted to keypoints whose vocabulary
+    tree node (FeatureVector level-4 node id) agrees -- here a dense
+    (N1,N2) word-equality mask over the Hamming matrix -- then best/
+    second-best NN-ratio, TH_LOW gate, rotation-histogram filter, and
+    min-dist conflict resolution per kp2.
+
+    word1/word2: (N,) int32 vocabulary node ids (-1 = invalid).
+    Returns (N1,) int32 index into set 2 or -1.
+    """
+    N1, N2 = desc1.shape[0], desc2.shape[0]
+    dist = hamming_matrix(desc1, desc2)
+    same_node = word1[:, None] == word2[None, :]
+    mask = (
+        same_node
+        & valid1[:, None] & valid2[None, :]
+        & (word1 >= 0)[:, None] & (word2 >= 0)[None, :]
+    )
+    INF = jnp.int32(1 << 20)
+    d = jnp.where(mask, dist, INF)
+    best = jnp.min(d, axis=1)
+    best_idx = jnp.argmin(d, axis=1)
+    d2 = d.at[jnp.arange(N1), best_idx].set(INF)
+    second = jnp.min(d2, axis=1)
+    accept = (
+        (best <= TH_LOW)
+        & (best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32))
+    )
+
+    # one kp2 per kp1 (min-dist claim, earlier row tie-break)
+    i1 = jnp.arange(N1, dtype=jnp.int32)
+    claim_key = best * N1 + i1
+    INF_KEY = jnp.int32(2**31 - 1)
+    winner = jnp.full((N2,), INF_KEY, jnp.int32).at[
+        jnp.where(accept, best_idx, N2)
+    ].min(jnp.where(accept, claim_key, INF_KEY), mode="drop")
+    final = accept & (winner[best_idx] == claim_key)
+
+    if check_rotation:
+        rot_ok = rotation_consistency_mask(angle1, angle2[best_idx], accept)
+        final = final & rot_ok
+    return jnp.where(final, best_idx, -1)
+
+
+def _predict_scale(dist3, mp_max_dist, scale_factors):
+    """MapPoint::PredictScale (reference inc/MapPoint.h:172-173)."""
+    n_levels = len(scale_factors)
+    scales = jnp.asarray(scale_factors, jnp.float32)
+    log_scale = jnp.log(scales[1])
+    ratio = mp_max_dist / jnp.maximum(dist3, 1e-9)
+    pred = jnp.ceil(jnp.log(ratio) / log_scale).astype(jnp.int32)
+    return jnp.clip(pred, 0, n_levels - 1)
+
+
+@functools.partial(jax.jit, static_argnums=(11, 12, 13))
+def fuse_by_projection(
+    mp_pos, mp_desc, mp_valid, mp_normal, mp_max_dist,
+    R, t,
+    kp_xy, kp_desc, kp_octave, kp_valid,
+    project, scale_factors, img_wh,
+    th: float = 3.0,
+):
+    """ORBmatcher::Fuse (reference ORBmatcher.cc:1399): project map points
+    into a keyframe; candidates within th*scale[pred] of the projection at
+    levels [pred-1, pred+1]; accept best Hamming <= TH_LOW.  Depth must be
+    inside the scale-invariance region and viewing cos >= 0.5.
+
+    Returns (M,) int32: best keypoint index per map point or -1.  The
+    host decides replace-vs-add-observation per the reference semantics.
+    """
+    M = mp_pos.shape[0]
+    scales = jnp.asarray(scale_factors, jnp.float32)
+
+    pc = jnp.einsum("ij,mj->mi", R, mp_pos) + t[None]
+    z_ok = pc[:, 2] > 0
+    uv = jax.vmap(project)(pc)
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < img_wh[0])
+        & (uv[:, 1] >= 0) & (uv[:, 1] < img_wh[1])
+    )
+    Ow = -jnp.einsum("ji,j->i", R, t)
+    view = mp_pos - Ow[None]
+    dist3 = jnp.linalg.norm(view, axis=-1)
+    n_levels = len(scale_factors)
+    min_dist = mp_max_dist / scales[n_levels - 1]
+    dist_ok = (dist3 >= min_dist) & (dist3 <= mp_max_dist)
+    view_cos = jnp.sum(view * mp_normal, -1) / jnp.maximum(dist3, 1e-9)
+    angle_ok = view_cos >= 0.5
+
+    pred = _predict_scale(dist3, mp_max_dist, scale_factors)
+    radius = th * scales[pred]
+    dx = jnp.abs(uv[:, 0:1] - kp_xy[None, :, 0])
+    dy = jnp.abs(uv[:, 1:2] - kp_xy[None, :, 1])
+    in_win = (dx < radius[:, None]) & (dy < radius[:, None])
+    lvl_ok = (kp_octave[None, :] >= (pred - 1)[:, None]) & (
+        kp_octave[None, :] <= (pred + 1)[:, None]
+    )
+    row_ok = mp_valid & z_ok & in_img & dist_ok & angle_ok
+    mask = in_win & lvl_ok & row_ok[:, None] & kp_valid[None, :]
+
+    dist = hamming_matrix(mp_desc, kp_desc)
+    INF = jnp.int32(1 << 20)
+    d = jnp.where(mask, dist, INF)
+    best = jnp.min(d, axis=1)
+    best_idx = jnp.argmin(d, axis=1)
+    accept = (best <= TH_LOW) & row_ok
+    return jnp.where(accept, best_idx, -1)
+
+
+@functools.partial(jax.jit, static_argnums=(12, 13, 14))
+def search_by_projection_sim3(
+    mp_pos, mp_desc, mp_valid, mp_normal, mp_max_dist,
+    s, R, t,
+    kp_xy, kp_desc, kp_octave, kp_valid_and_free,
+    project, scale_factors, img_wh,
+    th: float = 7.5,
+):
+    """SearchByProjection through a Sim3 Scw (reference ORBmatcher.cc:473,
+    used by loop closing to re-find loop map points in the current
+    keyframe): project s*R*p + t, depth within scale-invariance region,
+    radius th*scale[pred], best Hamming <= TH_LOW (no rotation check).
+
+    Returns (M,) int32 keypoint index per map point or -1.
+    """
+    scales = jnp.asarray(scale_factors, jnp.float32)
+    n_levels = len(scale_factors)
+
+    pc = s * jnp.einsum("ij,mj->mi", R, mp_pos) + t[None]
+    z_ok = pc[:, 2] > 0
+    uv = jax.vmap(project)(pc)
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < img_wh[0])
+        & (uv[:, 1] >= 0) & (uv[:, 1] < img_wh[1])
+    )
+    # camera centre of Scw in world coords: -(1/s) R^T t
+    Ow = -jnp.einsum("ji,j->i", R, t) / jnp.maximum(s, 1e-12)
+    view = mp_pos - Ow[None]
+    dist3 = jnp.linalg.norm(view, axis=-1)
+    min_dist = mp_max_dist / scales[n_levels - 1]
+    dist_ok = (dist3 >= min_dist) & (dist3 <= mp_max_dist)
+    view_cos = jnp.sum(view * mp_normal, -1) / jnp.maximum(dist3, 1e-9)
+    angle_ok = view_cos >= 0.5
+
+    pred = _predict_scale(dist3, mp_max_dist, scale_factors)
+    radius = th * scales[pred]
+    dx = jnp.abs(uv[:, 0:1] - kp_xy[None, :, 0])
+    dy = jnp.abs(uv[:, 1:2] - kp_xy[None, :, 1])
+    in_win = (dx < radius[:, None]) & (dy < radius[:, None])
+    lvl_ok = (kp_octave[None, :] >= (pred - 1)[:, None]) & (
+        kp_octave[None, :] <= (pred + 1)[:, None]
+    )
+    row_ok = mp_valid & z_ok & in_img & dist_ok & angle_ok
+    mask = in_win & lvl_ok & row_ok[:, None] & kp_valid_and_free[None, :]
+
+    dist = hamming_matrix(mp_desc, kp_desc)
+    INF = jnp.int32(1 << 20)
+    d = jnp.where(mask, dist, INF)
+    best = jnp.min(d, axis=1)
+    best_idx = jnp.argmin(d, axis=1)
+    accept = (best <= TH_LOW) & row_ok
+    final = _first_claim(best_idx, accept, kp_xy.shape[0])
+    return jnp.where(final, best_idx, -1)
+
+
+@functools.partial(jax.jit, static_argnums=(13, 14, 15))
+def search_by_projection_reloc(
+    mp_pos, mp_desc, mp_valid, mp_octave, mp_angle, mp_max_dist,
+    R, t,
+    kp_xy, kp_desc, kp_octave, kp_angle, kp_valid_and_free,
+    project, scale_factors, img_wh,
+    th: float = 10.0,
+    orb_dist: int = 100,
+):
+    """SearchByProjection, relocalization variant (reference
+    ORBmatcher.cc:2179): project candidate-KF map points with the PnP
+    pose; window th*scale[pred] from predicted scale, levels
+    [pred-1, pred+1], best <= ORBdist, rotation-histogram filter,
+    first-come conflict resolution.
+
+    Returns (M,) int32 keypoint index per map point or -1.
+    """
+    N = kp_xy.shape[0]
+    scales = jnp.asarray(scale_factors, jnp.float32)
+
+    pc = jnp.einsum("ij,mj->mi", R, mp_pos) + t[None]
+    z_ok = pc[:, 2] > 0
+    uv = jax.vmap(project)(pc)
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < img_wh[0])
+        & (uv[:, 1] >= 0) & (uv[:, 1] < img_wh[1])
+    )
+    Ow = -jnp.einsum("ji,j->i", R, t)
+    dist3 = jnp.linalg.norm(mp_pos - Ow[None], axis=-1)
+    pred = _predict_scale(dist3, mp_max_dist, scale_factors)
+    radius = th * scales[pred]
+
+    dx = jnp.abs(uv[:, 0:1] - kp_xy[None, :, 0])
+    dy = jnp.abs(uv[:, 1:2] - kp_xy[None, :, 1])
+    in_win = (dx < radius[:, None]) & (dy < radius[:, None])
+    lvl_ok = (kp_octave[None, :] >= (pred - 1)[:, None]) & (
+        kp_octave[None, :] <= (pred + 1)[:, None]
+    )
+    row_ok = mp_valid & z_ok & in_img
+    mask = in_win & lvl_ok & row_ok[:, None] & kp_valid_and_free[None, :]
+
+    dist = hamming_matrix(mp_desc, kp_desc)
+    INF = jnp.int32(1 << 20)
+    d = jnp.where(mask, dist, INF)
+    best = jnp.min(d, axis=1)
+    best_idx = jnp.argmin(d, axis=1)
+    accept = (best <= orb_dist) & row_ok
+    final = _first_claim(best_idx, accept, N)
+    rot_ok = rotation_consistency_mask(mp_angle, kp_angle[best_idx], accept)
+    final = final & rot_ok
+    return jnp.where(final, best_idx, -1)
+
+
+@functools.partial(jax.jit, static_argnums=(10, 11))
+def search_by_sim3(
+    pos1, desc1, valid1, pos2, desc2, valid2,
+    s12, R12, t12,
+    already,
+    project, scale_factors,
+    kp_xy1=None, kp_xy2=None, kp_octave1=None, kp_octave2=None,
+    max_dist1=None, max_dist2=None,
+    img_wh=(640.0, 480.0),
+    th: float = 7.5,
+):
+    """ORBmatcher::SearchBySim3 (reference ORBmatcher.cc:1735): given a
+    candidate Sim3 S12 between the map points of KF1 and KF2 (both given
+    in their own camera frames), project each side's points into the
+    other image, gate by predicted scale window, best <= TH_HIGH, and
+    keep only MUTUALLY agreeing pairs.
+
+    pos1/pos2: (N,3) map-point positions in camera frames 1 / 2.
+    already: (N1,) bool -- pairs already matched (excluded).
+    Returns (N1,) int32 index into set 2 or -1.
+    """
+    scales = jnp.asarray(scale_factors, jnp.float32)
+    N1, N2 = pos1.shape[0], pos2.shape[0]
+
+    # S21 = inverse of S12
+    s21 = 1.0 / jnp.maximum(s12, 1e-12)
+    R21 = R12.T
+    t21 = -s21 * jnp.einsum("ji,j->i", R12, t12)
+
+    def gated_best(pos_src, desc_src, valid_src, max_dist_src,
+                   s, R, t, kp_xy, kp_oct, desc_dst, valid_dst):
+        pc = s * jnp.einsum("ij,mj->mi", R, pos_src) + t[None]
+        z_ok = pc[:, 2] > 0
+        uv = jax.vmap(project)(pc)
+        in_img = (
+            (uv[:, 0] >= 0) & (uv[:, 0] < img_wh[0])
+            & (uv[:, 1] >= 0) & (uv[:, 1] < img_wh[1])
+        )
+        dist3 = jnp.linalg.norm(pc, axis=-1)
+        n_levels = len(scale_factors)
+        min_d = max_dist_src / scales[n_levels - 1]
+        dist_ok = (dist3 >= min_d) & (dist3 <= max_dist_src)
+        pred = _predict_scale(dist3, max_dist_src, scale_factors)
+        radius = th * scales[pred]
+        dx = jnp.abs(uv[:, 0:1] - kp_xy[None, :, 0])
+        dy = jnp.abs(uv[:, 1:2] - kp_xy[None, :, 1])
+        in_win = (dx < radius[:, None]) & (dy < radius[:, None])
+        lvl_ok = (kp_oct[None, :] >= (pred - 1)[:, None]) & (
+            kp_oct[None, :] <= (pred + 1)[:, None]
+        )
+        row_ok = valid_src & z_ok & in_img & dist_ok
+        mask = in_win & lvl_ok & row_ok[:, None] & valid_dst[None, :]
+        d = jnp.where(mask, hamming_matrix(desc_src, desc_dst), jnp.int32(1 << 20))
+        best = jnp.min(d, axis=1)
+        idx = jnp.argmin(d, axis=1)
+        return jnp.where((best <= TH_HIGH) & row_ok, idx, -1)
+
+    m12 = gated_best(pos1, desc1, valid1 & ~already, max_dist1,
+                     s21, R21, t21, kp_xy2, kp_octave2, desc2, valid2)
+    m21 = gated_best(pos2, desc2, valid2, max_dist2,
+                     s12, R12, t12, kp_xy1, kp_octave1, desc1, valid1)
+    i1 = jnp.arange(N1, dtype=jnp.int32)
+    mutual = (m12 >= 0) & (jnp.take(m21, jnp.clip(m12, 0, N2 - 1)) == i1)
+    return jnp.where(mutual, m12, -1)

@@ -7,6 +7,15 @@
 // final stage), so the host-exact path runs natively; the TPU pipeline
 // uses the shape-static device approximation in frontend/octree.py.
 //
+// Ordering spec: the reference's final stage sorts (size, node*) pairs,
+// so equal-size ties compare std::list node POINTERS — unspecified
+// behaviour.  We pin a deterministic spec shared with the python
+// implementation (frontend/octree.py:_distribute_host_py): node lists
+// are built in forward order (children appended n1..n4 at the end) and
+// equal-size ties in the final stage expand in reverse insertion order.
+// Leaf SETS therefore match python exactly and match the reference
+// except on exact size ties.
+//
 // C ABI for ctypes:
 //   int distribute_octree(const float* xs, const float* ys,
 //                         const float* resp, int n,
@@ -18,7 +27,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
-#include <list>
+#include <deque>
 #include <vector>
 
 namespace {
@@ -29,24 +38,36 @@ struct Node {
   bool no_more = false;
 };
 
-using NodeList = std::list<Node>;
+// Pool keeps nodes alive for the whole call; lists hold raw pointers.
+using Pool = std::deque<Node>;
 
-void divide(const Node& n, const float* xs, const float* ys, Node out[4]) {
-  const int half_x = static_cast<int>(std::ceil(static_cast<float>(n.brx - n.ulx) / 2));
-  const int half_y = static_cast<int>(std::ceil(static_cast<float>(n.bry - n.uly) / 2));
-  const int mx = n.ulx + half_x;
-  const int my = n.uly + half_y;
-  out[0] = {n.ulx, n.uly, mx, my, {}, false};
-  out[1] = {mx, n.uly, n.brx, my, {}, false};
-  out[2] = {n.ulx, my, mx, n.bry, {}, false};
-  out[3] = {mx, my, n.brx, n.bry, {}, false};
-  for (int i : n.idx) {
+Node* make_node(Pool& pool, int ulx, int uly, int brx, int bry,
+                std::vector<int> idx) {
+  pool.push_back(Node{ulx, uly, brx, bry, std::move(idx)});
+  Node* n = &pool.back();
+  n->no_more = n->idx.size() == 1;
+  return n;
+}
+
+// ExtractorNode::DivideNode (ceil halving), children in n1..n4 order.
+void divide(Pool& pool, const Node* n, const float* xs, const float* ys,
+            Node* out[4]) {
+  const int half_x =
+      static_cast<int>(std::ceil(static_cast<float>(n->brx - n->ulx) / 2));
+  const int half_y =
+      static_cast<int>(std::ceil(static_cast<float>(n->bry - n->uly) / 2));
+  const int mx = n->ulx + half_x;
+  const int my = n->uly + half_y;
+  std::vector<int> c0, c1, c2, c3;
+  for (int i : n->idx) {
     const bool left = xs[i] < static_cast<float>(mx);
     const bool top = ys[i] < static_cast<float>(my);
-    out[left ? (top ? 0 : 2) : (top ? 1 : 3)].idx.push_back(i);
+    (left ? (top ? c0 : c2) : (top ? c1 : c3)).push_back(i);
   }
-  for (int c = 0; c < 4; ++c)
-    if (out[c].idx.size() == 1) out[c].no_more = true;
+  out[0] = make_node(pool, n->ulx, n->uly, mx, my, std::move(c0));
+  out[1] = make_node(pool, mx, n->uly, n->brx, my, std::move(c1));
+  out[2] = make_node(pool, n->ulx, my, mx, n->bry, std::move(c2));
+  out[3] = make_node(pool, mx, my, n->brx, n->bry, std::move(c3));
 }
 
 }  // namespace
@@ -64,84 +85,73 @@ extern "C" int distribute_octree(
   }
   const int w = max_x - min_x;
   const int h = max_y - min_y;
-  int n_ini = static_cast<int>(std::lround(static_cast<float>(w) / h));
+  int n_ini = static_cast<int>(
+      std::lround(static_cast<float>(w) / static_cast<float>(h)));
   if (n_ini < 1) n_ini = 1;
   const float h_x = static_cast<float>(w) / static_cast<float>(n_ini);
 
-  NodeList nodes;
-  std::vector<NodeList::iterator> ini(n_ini);
-  for (int i = 0; i < n_ini; ++i) {
-    Node node;
-    node.ulx = static_cast<int>(h_x * static_cast<float>(i));
-    node.brx = static_cast<int>(h_x * static_cast<float>(i + 1));
-    node.uly = 0;
-    node.bry = h;
-    nodes.push_back(std::move(node));
-    ini[i] = std::prev(nodes.end());
-  }
+  Pool pool;
+  std::vector<std::vector<int>> buckets(n_ini);
   for (int i = 0; i < n; ++i) {
     int col = static_cast<int>(xs[i] / h_x);
     if (col < 0) col = 0;
     if (col >= n_ini) col = n_ini - 1;
-    ini[col]->idx.push_back(i);
+    buckets[col].push_back(i);
   }
-  for (auto it = nodes.begin(); it != nodes.end();) {
-    if (it->idx.size() == 1) {
-      it->no_more = true;
-      ++it;
-    } else if (it->idx.empty()) {
-      it = nodes.erase(it);
-    } else {
-      ++it;
-    }
+  std::vector<Node*> nodes;
+  for (int i = 0; i < n_ini; ++i) {
+    const int ulx = static_cast<int>(h_x * static_cast<float>(i));
+    const int brx = static_cast<int>(h_x * static_cast<float>(i + 1));
+    Node* node = make_node(pool, ulx, 0, brx, h, std::move(buckets[i]));
+    if (!node->idx.empty()) nodes.push_back(node);
   }
 
   bool finish = false;
-  std::vector<std::pair<int, NodeList::iterator>> to_expand;
+  std::vector<Node*> to_expand;
   while (!finish) {
     const int prev_size = static_cast<int>(nodes.size());
+    std::vector<Node*> new_nodes;
     to_expand.clear();
-    for (auto it = nodes.begin(); it != nodes.end();) {
-      if (it->no_more) {
-        ++it;
+    for (Node* node : nodes) {
+      if (node->no_more) {
+        new_nodes.push_back(node);
         continue;
       }
-      Node children[4];
-      divide(*it, xs.data(), ys.data(), children);
+      Node* children[4];
+      divide(pool, node, xs.data(), ys.data(), children);
       for (int c = 0; c < 4; ++c) {
-        if (children[c].idx.empty()) continue;
-        nodes.push_front(std::move(children[c]));
-        if (nodes.front().idx.size() > 1)
-          to_expand.emplace_back(
-              static_cast<int>(nodes.front().idx.size()), nodes.begin());
+        if (children[c]->idx.empty()) continue;
+        new_nodes.push_back(children[c]);
+        if (children[c]->idx.size() > 1) to_expand.push_back(children[c]);
       }
-      it = nodes.erase(it);
     }
+    nodes.swap(new_nodes);
     if (static_cast<int>(nodes.size()) >= n_target ||
         static_cast<int>(nodes.size()) == prev_size) {
       finish = true;
-    } else if (static_cast<int>(nodes.size()) + 3 * static_cast<int>(to_expand.size()) >
+    } else if (static_cast<int>(nodes.size()) +
+                   3 * static_cast<int>(to_expand.size()) >
                n_target) {
-      // final stage: split largest nodes first (stable on ties, unlike
-      // the reference's pointer-order tie-break which is unspecified)
+      // final stage: expand largest nodes first; equal sizes in reverse
+      // insertion order (stable ascending sort, then iterate backwards)
       while (!finish) {
         const int prev2 = static_cast<int>(nodes.size());
-        auto prev_expand = to_expand;
+        std::vector<Node*> prev_expand = to_expand;
         to_expand.clear();
-        std::stable_sort(
-            prev_expand.begin(), prev_expand.end(),
-            [](const auto& a, const auto& b) { return a.first < b.first; });
+        std::stable_sort(prev_expand.begin(), prev_expand.end(),
+                         [](const Node* a, const Node* b) {
+                           return a->idx.size() < b->idx.size();
+                         });
         for (auto it = prev_expand.rbegin(); it != prev_expand.rend(); ++it) {
-          Node children[4];
-          divide(*(it->second), xs.data(), ys.data(), children);
+          Node* node = *it;
+          nodes.erase(std::find(nodes.begin(), nodes.end(), node));
+          Node* children[4];
+          divide(pool, node, xs.data(), ys.data(), children);
           for (int c = 0; c < 4; ++c) {
-            if (children[c].idx.empty()) continue;
-            nodes.push_front(std::move(children[c]));
-            if (nodes.front().idx.size() > 1)
-              to_expand.emplace_back(
-                  static_cast<int>(nodes.front().idx.size()), nodes.begin());
+            if (children[c]->idx.empty()) continue;
+            nodes.push_back(children[c]);
+            if (children[c]->idx.size() > 1) to_expand.push_back(children[c]);
           }
-          nodes.erase(it->second);
           if (static_cast<int>(nodes.size()) >= n_target) break;
         }
         if (static_cast<int>(nodes.size()) >= n_target ||
@@ -152,13 +162,13 @@ extern "C" int distribute_octree(
   }
 
   int count = 0;
-  for (const auto& node : nodes) {
+  for (const Node* node : nodes) {
     if (count >= max_out) break;
-    int best = node.idx[0];
+    int best = node->idx[0];
     float best_r = resp[best];
-    for (size_t k = 1; k < node.idx.size(); ++k) {
-      if (resp[node.idx[k]] > best_r) {
-        best = node.idx[k];
+    for (size_t k = 1; k < node->idx.size(); ++k) {
+      if (resp[node->idx[k]] > best_r) {
+        best = node->idx[k];
         best_r = resp[best];
       }
     }

@@ -125,3 +125,163 @@ def test_search_for_initialization_vs_oracle(tum_pair):
     assert len(exp_pairs) > 50, len(exp_pairs)
     assert inter >= 0.97 * len(exp_pairs), (len(exp_pairs), len(got_pairs), inter)
     assert abs(len(got_pairs) - len(exp_pairs)) <= max(3, 0.03 * len(exp_pairs))
+
+
+def test_search_by_bow_word_gating(rng):
+    """SearchByBoW: only same-word candidates; nn-ratio; TH_LOW gate."""
+    N1, N2 = 48, 64
+    d1 = rng.integers(0, 256, (N1, 32), dtype=np.uint8)
+    # frame2: first N1 entries are near-copies of frame1 (few bit flips)
+    d2 = rng.integers(0, 256, (N2, 32), dtype=np.uint8)
+    d2[:N1] = d1
+    for i in range(N1):
+        d2[i, rng.integers(0, 32)] ^= 1 << int(rng.integers(0, 8))
+    w1 = rng.integers(0, 8, N1).astype(np.int32)
+    w2 = np.full(N2, -1, np.int32)
+    w2[:N1] = w1  # same words for the copies
+    a1 = np.zeros(N1, np.float32)
+    a2 = np.zeros(N2, np.float32)
+    v1 = np.ones(N1, bool)
+    v2 = np.ones(N2, bool)
+    m = np.asarray(fmatch.search_by_bow(
+        jnp.asarray(d1), jnp.asarray(w1), jnp.asarray(a1), jnp.asarray(v1),
+        jnp.asarray(d2), jnp.asarray(w2), jnp.asarray(a2), jnp.asarray(v2),
+    ))
+    matched = m >= 0
+    # most near-copies should match to themselves
+    assert (m[matched] == np.arange(N1)[matched]).all()
+    assert matched.sum() >= 0.8 * N1
+    # word mismatch must block: shuffle words
+    w2_bad = np.full(N2, 7, np.int32)
+    w1_bad = np.zeros(N1, np.int32)
+    m_bad = np.asarray(fmatch.search_by_bow(
+        jnp.asarray(d1), jnp.asarray(w1_bad), jnp.asarray(a1), jnp.asarray(v1),
+        jnp.asarray(d2), jnp.asarray(w2_bad), jnp.asarray(a2), jnp.asarray(v2),
+    ))
+    assert (m_bad == -1).all()
+
+
+def _synthetic_cloud(rng, M=60):
+    pts = np.stack([
+        rng.uniform(-2, 2, M), rng.uniform(-1.5, 1.5, M), rng.uniform(4, 8, M)
+    ], -1).astype(np.float32)
+    desc = rng.integers(0, 256, (M, 32), dtype=np.uint8)
+    return pts, desc
+
+
+def _pinhole_project():
+    import jax.numpy as jnp2
+
+    def project(pc):
+        return jnp2.stack(
+            [500.0 * pc[0] / pc[2] + 320.0, 500.0 * pc[1] / pc[2] + 240.0], -1
+        ).reshape(2)
+
+    return project
+
+
+def test_fuse_by_projection_finds_reobservations(rng):
+    pts, desc = _synthetic_cloud(rng)
+    M = len(pts)
+    project = _pinhole_project()
+    scale_factors = tuple(1.2 ** i for i in range(8))
+    uv = np.stack([
+        500 * pts[:, 0] / pts[:, 2] + 320, 500 * pts[:, 1] / pts[:, 2] + 240
+    ], -1).astype(np.float32)
+    keep = (uv[:, 0] > 5) & (uv[:, 0] < 635) & (uv[:, 1] > 5) & (uv[:, 1] < 475)
+    normal = np.zeros((M, 3), np.float32)
+    normal[:, 2] = -1.0  # viewing direction from origin
+    normal = (pts / np.linalg.norm(pts, axis=1, keepdims=True)).astype(np.float32)
+    dist = np.linalg.norm(pts, axis=1).astype(np.float32)
+    max_dist = (dist * 1.05).astype(np.float32)
+    m = np.asarray(fmatch.fuse_by_projection(
+        jnp.asarray(pts), jnp.asarray(desc), jnp.asarray(np.ones(M, bool)),
+        jnp.asarray(normal), jnp.asarray(max_dist),
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        jnp.asarray(uv), jnp.asarray(desc), jnp.zeros(M, jnp.int32),
+        jnp.asarray(np.ones(M, bool)),
+        project, scale_factors, (640.0, 480.0),
+    ))
+    ok = m >= 0
+    assert ok[keep].mean() > 0.9
+    assert (m[ok] == np.arange(M)[ok]).all()
+
+
+def test_search_by_projection_reloc_rotation_filter(rng):
+    pts, desc = _synthetic_cloud(rng)
+    M = len(pts)
+    project = _pinhole_project()
+    scale_factors = tuple(1.2 ** i for i in range(8))
+    uv = np.stack([
+        500 * pts[:, 0] / pts[:, 2] + 320, 500 * pts[:, 1] / pts[:, 2] + 240
+    ], -1).astype(np.float32)
+    dist = np.linalg.norm(pts, axis=1).astype(np.float32)
+    max_dist = (dist * 1.05).astype(np.float32)
+    angles = rng.uniform(0, 360, M).astype(np.float32)
+    m = np.asarray(fmatch.search_by_projection_reloc(
+        jnp.asarray(pts), jnp.asarray(desc), jnp.asarray(np.ones(M, bool)),
+        jnp.zeros(M, jnp.int32), jnp.asarray(angles), jnp.asarray(max_dist),
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        jnp.asarray(uv), jnp.asarray(desc), jnp.zeros(M, jnp.int32),
+        jnp.asarray(angles), jnp.asarray(np.ones(M, bool)),
+        project, scale_factors, (640.0, 480.0),
+    ))
+    ok = m >= 0
+    # consistent rotation (same angle both sides -> bin 0 dominates)
+    assert ok.mean() > 0.7
+    assert (m[ok] == np.arange(M)[ok]).all()
+
+
+def test_search_by_projection_sim3_scale(rng):
+    """Points expressed in a scaled/rotated frame are still re-found when
+    projected through the matching Sim3."""
+    pts, desc = _synthetic_cloud(rng)
+    M = len(pts)
+    project = _pinhole_project()
+    scale_factors = tuple(1.2 ** i for i in range(8))
+    uv = np.stack([
+        500 * pts[:, 0] / pts[:, 2] + 320, 500 * pts[:, 1] / pts[:, 2] + 240
+    ], -1).astype(np.float32)
+    s = 2.0
+    # world points w = pts / s  (so s * I * w + 0 = pts = camera coords)
+    w = (pts / s).astype(np.float32)
+    normal = (w / np.linalg.norm(w, axis=1, keepdims=True)).astype(np.float32)
+    dist = np.linalg.norm(w, axis=1).astype(np.float32)
+    max_dist = (dist * 1.05).astype(np.float32)
+    m = np.asarray(fmatch.search_by_projection_sim3(
+        jnp.asarray(w), jnp.asarray(desc), jnp.asarray(np.ones(M, bool)),
+        jnp.asarray(normal), jnp.asarray(max_dist),
+        jnp.float32(s), jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        jnp.asarray(uv), jnp.asarray(desc), jnp.zeros(M, jnp.int32),
+        jnp.asarray(np.ones(M, bool)),
+        project, scale_factors, (640.0, 480.0),
+    ))
+    ok = m >= 0
+    assert ok.mean() > 0.8
+    assert (m[ok] == np.arange(M)[ok]).all()
+
+
+def test_search_by_sim3_mutual(rng):
+    pts, desc = _synthetic_cloud(rng)
+    M = len(pts)
+    project = _pinhole_project()
+    scale_factors = tuple(1.2 ** i for i in range(8))
+    uv = np.stack([
+        500 * pts[:, 0] / pts[:, 2] + 320, 500 * pts[:, 1] / pts[:, 2] + 240
+    ], -1).astype(np.float32)
+    dist = np.linalg.norm(pts, axis=1).astype(np.float32)
+    max_dist = (dist * 1.05).astype(np.float32)
+    m = np.asarray(fmatch.search_by_sim3(
+        jnp.asarray(pts), jnp.asarray(desc), jnp.asarray(np.ones(M, bool)),
+        jnp.asarray(pts), jnp.asarray(desc), jnp.asarray(np.ones(M, bool)),
+        jnp.float32(1.0), jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros(3, jnp.float32),
+        jnp.asarray(np.zeros(M, bool)),
+        project, scale_factors,
+        kp_xy1=jnp.asarray(uv), kp_xy2=jnp.asarray(uv),
+        kp_octave1=jnp.zeros(M, jnp.int32), kp_octave2=jnp.zeros(M, jnp.int32),
+        max_dist1=jnp.asarray(max_dist), max_dist2=jnp.asarray(max_dist),
+    ))
+    ok = m >= 0
+    assert ok.mean() > 0.8
+    assert (m[ok] == np.arange(M)[ok]).all()
