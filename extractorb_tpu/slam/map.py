@@ -41,6 +41,10 @@ class KeyFrame:
     valid: np.ndarray             # (N,)
     kp_mp: np.ndarray             # (N,) map-point id per keypoint or -1
     is_bad: bool = False
+    # Stereo/RGBD channels (reference mvuRight/mvDepth, inc/Frame.h);
+    # None for monocular keyframes.
+    ur: Optional[np.ndarray] = None     # (N,) right-image u or -1
+    depth: Optional[np.ndarray] = None  # (N,) metric depth or -1
 
     @property
     def n_kps(self) -> int:

@@ -38,14 +38,36 @@ class System:
                 vocab = Vocabulary.load(vocab_path)
         self.tracker = Tracker(cfg, vocab=vocab)
 
-    def track_monocular(self, img: np.ndarray, timestamp: float) -> TrackState:
-        """Reference System::TrackMonocular (src/System.cc:346)."""
+    @staticmethod
+    def _to_gray(img: np.ndarray) -> np.ndarray:
         if img.ndim == 3:
             # cvtColor equivalent: BGR -> gray (reference Tracking.cc:1042)
             img = np.round(
                 0.114 * img[..., 0] + 0.587 * img[..., 1] + 0.299 * img[..., 2]
             ).astype(np.uint8)
-        return self.tracker.track(img, timestamp)
+        return img
+
+    def track_monocular(self, img: np.ndarray, timestamp: float) -> TrackState:
+        """Reference System::TrackMonocular (src/System.cc:346)."""
+        return self.tracker.track(self._to_gray(img), timestamp)
+
+    def track_stereo(
+        self, img_left: np.ndarray, img_right: np.ndarray, timestamp: float
+    ) -> TrackState:
+        """Reference System::TrackStereo (src/System.cc:222).  Images must
+        be rectified; Camera.bf must be set in the config."""
+        return self.tracker.track_stereo(
+            self._to_gray(img_left), self._to_gray(img_right), timestamp
+        )
+
+    def track_rgbd(
+        self, img: np.ndarray, depthmap: np.ndarray, timestamp: float
+    ) -> TrackState:
+        """Reference System::TrackRGBD (src/System.cc:288).  depthmap is
+        metric depth (float, 0/negative = invalid)."""
+        return self.tracker.track_rgbd(
+            self._to_gray(img), depthmap, timestamp
+        )
 
     @property
     def state(self) -> TrackState:

@@ -54,6 +54,9 @@ class Frame:
     kp_mp: np.ndarray          # (N,) associated map point or -1
     R: Optional[np.ndarray] = None
     t: Optional[np.ndarray] = None
+    # stereo/RGBD channels (reference mvuRight/mvDepth); None for mono
+    ur: Optional[np.ndarray] = None
+    depth: Optional[np.ndarray] = None
 
 
 class Tracker:
@@ -83,6 +86,15 @@ class Tracker:
         self.scale_factors = tuple(float(s) for s in self.extractor.scales)
         sig = [s * s for s in self.scale_factors]
         self.inv_sigma2 = tuple(1.0 / v for v in sig)
+
+        # Stereo/RGBD geometry (reference: Camera.bf, ThDepth; mThDepth =
+        # mbf * ThDepth / fx, src/Tracking.cc:169 region).
+        self.bf = float(cam_cfg.bf)
+        self.baseline = self.bf / fx if self.bf > 0 else 0.0
+        self.th_depth = (
+            self.bf * float(cam_cfg.th_depth) / fx if self.bf > 0 else 0.0
+        )
+        self.sensor = cfg.sensor
 
         self.state = TrackState.NO_IMAGES_YET
         self.atlas = Atlas()
@@ -129,14 +141,77 @@ class Tracker:
         self._next_frame_id += 1
         return f
 
+    def _make_frame_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
+                           ts: float) -> Frame:
+        """Stereo Frame ctor (reference src/Frame.cc:88): extract both
+        images, then ComputeStereoMatches -> mvuRight/mvDepth."""
+        from ..frontend import stereo as fstereo
+        from ..frontend.pyramid import compute_pyramid
+
+        frame = self._make_frame(img_l, ts)
+        feats_r = self.extractor(jnp.asarray(img_r))
+        cfg = self.cfg.orb
+        pyr_l = tuple(compute_pyramid(jnp.asarray(img_l), cfg.n_levels,
+                                      cfg.scale_factor))
+        pyr_r = tuple(compute_pyramid(jnp.asarray(img_r), cfg.n_levels,
+                                      cfg.scale_factor))
+        res = fstereo.compute_stereo_matches(
+            frame.feats.xy, frame.feats.octave, frame.feats.desc,
+            frame.feats.valid,
+            feats_r.xy, feats_r.octave, feats_r.desc, feats_r.valid,
+            pyr_l, pyr_r, self.scale_factors, self.bf, self.baseline,
+        )
+        frame.ur = np.where(np.asarray(res.valid), np.asarray(res.u_right),
+                            -1.0).astype(np.float32)
+        frame.depth = np.where(np.asarray(res.valid), np.asarray(res.depth),
+                               -1.0).astype(np.float32)
+        return frame
+
+    def _make_frame_rgbd(self, img: np.ndarray, depthmap: np.ndarray,
+                         ts: float) -> Frame:
+        """RGBD Frame ctor (reference src/Frame.cc:191 +
+        ComputeStereoFromRGBD :994): depth sampled at the raw keypoint
+        coords; virtual right coord uR = uU - bf/d."""
+        frame = self._make_frame(img, ts)
+        xy = np.asarray(frame.feats.xy)
+        v = np.round(np.clip(xy[:, 1], 0, depthmap.shape[0] - 1)).astype(int)
+        u = np.round(np.clip(xy[:, 0], 0, depthmap.shape[1] - 1)).astype(int)
+        d = depthmap[v, u].astype(np.float32)
+        ok = frame.valid & (d > 0)
+        frame.depth = np.where(ok, d, -1.0).astype(np.float32)
+        frame.ur = np.where(
+            ok, frame.xy_un[:, 0] - self.bf / np.maximum(d, 1e-9), -1.0
+        ).astype(np.float32)
+        return frame
+
     # ------------------------------------------------------------- entry
 
     def track(self, img: np.ndarray, ts: float):
         """GrabImageMonocular + Track (reference Tracking.cc:1038, :1390)."""
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self._monocular_initialization(img, ts)
-        elif self.state == TrackState.LOST:
-            frame = self._make_frame(img, ts)
+            return self.state
+        return self._track_existing(self._make_frame(img, ts), ts)
+
+    def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray, ts: float):
+        """GrabImageStereo + Track (reference Tracking.cc + System.cc:222)."""
+        frame = self._make_frame_stereo(img_l, img_r, ts)
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            self._stereo_initialization(frame)
+            return self.state
+        return self._track_existing(frame, ts)
+
+    def track_rgbd(self, img: np.ndarray, depthmap: np.ndarray, ts: float):
+        """GrabImageRGBD + Track (reference System.cc:288)."""
+        frame = self._make_frame_rgbd(img, depthmap, ts)
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            self._stereo_initialization(frame)
+            return self.state
+        return self._track_existing(frame, ts)
+
+    def _track_existing(self, frame: Frame, ts: float):
+        """Shared post-initialization state machine (Track(), :1390)."""
+        if self.state == TrackState.LOST:
             if self._relocalize(frame) and self._track_local_map(frame):
                 self.state = TrackState.OK
                 self.velocity = None
@@ -155,7 +230,6 @@ class Tracker:
             if frame.R is not None and self.state == TrackState.OK:
                 self.trajectory.append((ts, frame.R.copy(), frame.t.copy()))
         else:
-            frame = self._make_frame(img, ts)
             ok = self._track_frame(frame)
             if ok:
                 self.state = TrackState.OK
@@ -166,6 +240,45 @@ class Tracker:
             if frame.R is not None and ok:
                 self.trajectory.append((ts, frame.R.copy(), frame.t.copy()))
         return self.state
+
+    def _stereo_initialization(self, frame: Frame):
+        """Reference StereoInitialization (Tracking.cc:1924 region): with
+        >500 keypoints, the first frame becomes a keyframe at the origin
+        and every positive-depth keypoint is unprojected into a map
+        point."""
+        if int(frame.feats.count()) <= 500:
+            self.last_frame = frame
+            return
+        mp = self.atlas.current
+        frame.R = np.eye(3, dtype=np.float32)
+        frame.t = np.zeros(3, np.float32)
+        kf = self._promote(frame, mp)
+        fx, fy = self.K[0, 0], self.K[1, 1]
+        cx, cy = self.K[0, 2], self.K[1, 2]
+        n_pts = 0
+        for i in np.where(frame.valid & (frame.depth > 0))[0]:
+            z = float(frame.depth[i])
+            u, v = frame.xy_un[i]
+            pos = np.array(
+                [(u - cx) * z / fx, (v - cy) * z / fy, z], np.float32
+            )
+            mid = mp.add_point(pos, frame.desc[i], np.zeros(3, np.float32),
+                               1.0, kf.kid)
+            mp.add_observation(mid, kf.kid, int(i))
+            mp.update_point_stats(mid)
+            frame.kp_mp[i] = mid
+            n_pts += 1
+        if n_pts < 100:
+            self._reset_map()
+            self.last_frame = frame
+            return
+        self.ref_kf = kf.kid
+        self.last_kf_frame_id = frame.frame_id
+        self.velocity = None
+        self.state = TrackState.OK
+        self.last_frame = frame
+        self.trajectory.append((frame.timestamp, frame.R.copy(),
+                                frame.t.copy()))
 
     def _relocalize(self, frame: Frame) -> bool:
         """Relocalization (reference Tracking.cc:3184): place-recognition
@@ -350,6 +463,8 @@ class Tracker:
             R=f.R.copy(), t=f.t.copy(), feats=f.feats,
             xy_un=f.xy_un, octave=f.octave, angle=f.angle,
             desc=f.desc, valid=f.valid, kp_mp=f.kp_mp.copy(),
+            ur=None if f.ur is None else f.ur.copy(),
+            depth=None if f.depth is None else f.depth.copy(),
         )
         mp.add_keyframe(kf)
         # share the association array so frame/keyframe stay consistent
@@ -541,10 +656,17 @@ class Tracker:
             np.clip(frame.octave[idx], 0, len(self.inv_sigma2) - 1)
         ]
         val[:k] = True
+        obs_ur = None
+        if frame.ur is not None and self.bf > 0:
+            # stereo observations: 3-dim residual with virtual right u
+            obs_ur_np = np.full((N,), -1.0, np.float32)
+            obs_ur_np[:k] = frame.ur[idx]
+            obs_ur = jnp.asarray(obs_ur_np)
         res = spo.optimize_pose(
             jnp.asarray(frame.R), jnp.asarray(frame.t),
             jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(isig),
             jnp.asarray(val), self.project,
+            bf=self.bf, obs_ur=obs_ur,
         )
         inl = np.asarray(res.inliers)[:k]
         frame.R = np.asarray(res.R)
@@ -569,9 +691,22 @@ class Tracker:
                 if m >= 0 and mp.mp_valid[m] and mp.n_observations(int(m)) >= 3
             )
         )
+        # Stereo/RGBD close-point pressure (reference Tracking.cc:2647+:
+        # bNeedToInsertClose when <100 tracked close and >70 untracked
+        # close points; thRefRatio drops to 0.75).
+        need_close = False
+        th_ref_ratio = 0.9
+        if frame.depth is not None and self.th_depth > 0:
+            close = frame.valid & (frame.depth > 0) & (
+                frame.depth < self.th_depth
+            )
+            tracked_close = int((close & (frame.kp_mp >= 0)).sum())
+            untracked_close = int((close & (frame.kp_mp < 0)).sum())
+            need_close = tracked_close < 100 and untracked_close > 70
+            th_ref_ratio = 0.75
         c1a = frame.frame_id >= self.last_kf_frame_id + self.cfg.tracking.max_frames
         c1b = frame.frame_id >= self.last_kf_frame_id + self.cfg.tracking.min_frames
-        c2 = (tracked < ref_tracked * 0.9) and tracked > 15
+        c2 = (tracked < ref_tracked * th_ref_ratio or need_close) and tracked > 15
         return bool((c1a or (c1b and c2)) and tracked > 15)
 
     def _create_keyframe(self, frame: Frame):
@@ -584,6 +719,32 @@ class Tracker:
                 mp.update_point_stats(mid)
             else:
                 kf.kp_mp[kp] = INVALID
+        # Stereo/RGBD: unproject close unmatched keypoints into new map
+        # points, nearest first, until 100 created or depth > thDepth
+        # (reference CreateNewKeyFrame, Tracking.cc:2907 region).
+        if frame.depth is not None and self.th_depth > 0:
+            free = np.where(frame.valid & (frame.depth > 0)
+                            & (kf.kp_mp < 0))[0]
+            order = free[np.argsort(frame.depth[free])]
+            fx, fy = self.K[0, 0], self.K[1, 1]
+            cx, cy = self.K[0, 2], self.K[1, 2]
+            Rcw, tcw = kf.R, kf.t
+            n_created = 0
+            for i in order:
+                z = float(frame.depth[i])
+                if n_created >= 100 and z > self.th_depth:
+                    break
+                u, v = frame.xy_un[i]
+                pc = np.array(
+                    [(u - cx) * z / fx, (v - cy) * z / fy, z], np.float32
+                )
+                pos = Rcw.T @ (pc - tcw)
+                mid = mp.add_point(pos, frame.desc[i],
+                                   np.zeros(3, np.float32), 1.0, kf.kid)
+                mp.add_observation(mid, kf.kid, int(i))
+                mp.update_point_stats(mid)
+                kf.kp_mp[i] = mid
+                n_created += 1
         self.ref_kf = kf.kid
         self.last_kf_frame_id = frame.frame_id
         # synchronous local mapping step (bounded work budget)

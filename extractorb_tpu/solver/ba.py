@@ -62,6 +62,12 @@ def _obs_residual_jac(R, t, points, p: BAProblem, project, bf: float = 0.0):
     tk = t[p.obs_kf]
     pw = points[p.obs_mp]
     uv = p.obs_uv
+    # Invalid (padding) observations may address garbage points; a z=0
+    # camera point yields NaN, and NaN * 0-weight still poisons the
+    # normal equations.  Substitute a point 1m in front of the camera.
+    safe_pw = jnp.einsum("oji,oj->oi", Rk, -tk + jnp.array([0.0, 0.0, 1.0],
+                                                           points.dtype))
+    pw = jnp.where(p.obs_valid[:, None], pw, safe_pw)
     stereo = p.obs_ur is not None
     ur = p.obs_ur if stereo else None
 

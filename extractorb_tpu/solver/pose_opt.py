@@ -80,6 +80,12 @@ def optimize_pose(
         chi2_th = CHI2_MONO
         delta_h = DELTA_MONO
 
+    # Padded (invalid) slots may hold zeros; projecting z=0 yields NaN
+    # residuals/Jacobians, and NaN * 0-weight still poisons H (NaN*0=NaN).
+    # Substitute a safe point so masked slots stay finite.
+    safe = jnp.zeros_like(pts_w).at[:, 2].set(1.0)
+    pts_w = jnp.where(valid[:, None], pts_w, safe)
+
     def lm_iters(carry, use_huber):
         R, t, active = carry
 
