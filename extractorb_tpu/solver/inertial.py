@@ -165,6 +165,12 @@ def _vis_residual_jac(Rwb, twb, points, p: VIBAProblem, project):
     Rk = Rwb[p.obs_kf]
     tk = twb[p.obs_kf]
     pw = points[p.obs_mp]
+    # padding slots may address garbage points; z=0 in the camera yields
+    # NaN which poisons the normal equations through NaN*0 -- substitute
+    # a point 1m in front of the camera (see solver/pose_opt.py)
+    pb_safe = p.Rcb.T @ (jnp.array([0.0, 0.0, 1.0], points.dtype) - p.tcb)
+    pw_safe = jnp.einsum("kij,j->ki", Rk, pb_safe) + tk
+    pw = jnp.where(p.obs_valid[:, None], pw, pw_safe)
 
     def r_fn(d6, dp, Rk1, tk1, pw1, uv1):
         Rn = Rk1 @ lie.so3_exp(d6[0:3])
@@ -542,6 +548,11 @@ def optimize_pose_inertial(
 
         def one_iter(st, _):
             Rc, tc, vc, bgc, bac = st
+            # keep padded slots finite (NaN*0 poisons H; see pose_opt.py)
+            pb_safe = Rcb.T @ (jnp.array([0.0, 0.0, 1.0], dtype) - tcb)
+            pts_safe = jnp.where(
+                valid[:, None], pts_w, Rc @ pb_safe + tc
+            )
 
             def resid_all(d):
                 R, t, vv, bgn, ban = _apply_delta(Rc, tc, vc, bgc, bac, d)
@@ -551,7 +562,7 @@ def optimize_pose_inertial(
                     pc = Rcb @ pb + tcb
                     return uv - project(pc)
 
-                rv = jax.vmap(per_kp)(pts_w, obs_uv)  # (N,2)
+                rv = jax.vmap(per_kp)(pts_safe, obs_uv)  # (N,2)
                 ri = _edge_resid15(
                     preint, Lr, Lb, g,
                     Rp, tp, vp_, bgp, bap, R, t, vv, bgn, ban,
@@ -619,6 +630,9 @@ def optimize_pose_inertial(
     Rc, tc, vc, bgc, bac, active = carry
 
     # final Hessian (marginal information for the next frame's prior)
+    pb_safe = Rcb.T @ (jnp.array([0.0, 0.0, 1.0], dtype) - tcb)
+    pts_fin = jnp.where(valid[:, None], pts_w, Rc @ pb_safe + tc)
+
     def resid_final(d):
         R, t, vv, bgn, ban = _apply_delta(Rc, tc, vc, bgc, bac, d)
 
@@ -627,7 +641,7 @@ def optimize_pose_inertial(
             pc = Rcb @ pb + tcb
             return uv - project(pc)
 
-        rv = jax.vmap(per_kp)(pts_w, obs_uv)
+        rv = jax.vmap(per_kp)(pts_fin, obs_uv)
         ri = _edge_resid15(
             preint, Lr, Lb, g, Rp, tp, vp_, bgp, bap, R, t, vv, bgn, ban
         )
