@@ -54,6 +54,8 @@ def tum_pair():
     return a, b
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: a fresh fixed-seed generator per test, so scene
+    # draws never depend on which tests ran before (order-flakiness)
     return np.random.default_rng(0)
