@@ -1,1 +1,1 @@
-from . import preintegration  # noqa: F401
+from . import calib, preintegration  # noqa: F401

@@ -130,11 +130,13 @@ def run_ba(
 
 
 class LocalMapper:
-    def __init__(self, project, scale_factors, inv_sigma2, K):
+    def __init__(self, project, scale_factors, inv_sigma2, K,
+                 imu_calib=None):
         self.project = project
         self.scale_factors = scale_factors
         self.inv_sigma2 = inv_sigma2
         self.K = K
+        self.imu_calib = imu_calib
         self.recent_points: List[int] = []
 
     # ----------------------------------------------------------- pipeline
@@ -408,6 +410,31 @@ class LocalMapper:
             p = int(kf.kp_mp[kp])
             if p in mp.obs and kf_id in mp.obs[p]:
                 mp.erase_observation(p, kf_id)
+        # inertial temporal-chain repair (reference KeyFrame::SetBadFlag
+        # + Preintegrated::MergePrevious, src/ImuTypes.cc:312): the
+        # successor inherits prev_kf and the merged measurement window
+        succ = next(
+            (k for k in mp.keyframes.values() if k.prev_kf == kf_id), None
+        )
+        if succ is not None:
+            succ.prev_kf = kf.prev_kf
+            if self.imu_calib is not None and (
+                kf.imu_meas is not None or succ.imu_meas is not None
+            ):
+                from . import imu_frontend
+
+                succ.imu_meas = imu_frontend.merge_measurements(
+                    kf.imu_meas, succ.imu_meas
+                )
+                bias = (
+                    np.concatenate([succ.bg, succ.ba]).astype(np.float32)
+                    if succ.bg is not None
+                    else np.zeros(6, np.float32)
+                )
+                if succ.imu_meas is not None:
+                    succ.preint = imu_frontend.integrate_raw(
+                        succ.imu_meas, bias, self.imu_calib
+                    )
         kf.is_bad = True
         del mp.keyframes[kf_id]
         mp.version += 1

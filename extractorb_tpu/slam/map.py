@@ -45,6 +45,15 @@ class KeyFrame:
     # None for monocular keyframes.
     ur: Optional[np.ndarray] = None     # (N,) right-image u or -1
     depth: Optional[np.ndarray] = None  # (N,) metric depth or -1
+    # Inertial state (reference KeyFrame mVw/mImuBias/mpImuPreintegrated
+    # and the temporal chain mPrevKF, inc/KeyFrame.h).
+    v: Optional[np.ndarray] = None      # (3,) body velocity in world
+    bg: Optional[np.ndarray] = None     # (3,) gyro bias
+    ba: Optional[np.ndarray] = None     # (3,) acc bias
+    preint: Optional[object] = None     # imu.Preintegrated from prev_kf
+    prev_kf: int = -1                   # temporal predecessor keyframe id
+    imu_meas: Optional[tuple] = None    # raw (gyro, acc, dt) window from
+                                        # prev_kf (for MergePrevious on cull)
 
     @property
     def n_kps(self) -> int:
@@ -73,6 +82,11 @@ class SLAMMap:
         # observations: mp -> {kf: kp_idx}
         self.obs: Dict[int, Dict[int, int]] = {}
         self.version = 0  # change index (reference Map::GetMapChangeIndex)
+        # inertial staging flags (reference Map::SetImuInitialized,
+        # GetIniertialBA1/2, inc/Map.h:120-129)
+        self.imu_initialized = False
+        self.imu_ba1 = False
+        self.imu_ba2 = False
 
     # ------------------------------------------------------------ points
 
@@ -187,6 +201,28 @@ class SLAMMap:
         d = np.linalg.norm(pos - kf.center())
         level = int(kf.octave[kp])
         self.mp_max_dist[mp] = d * (1.2 ** level)
+
+    def apply_scaled_rotation(self, Ryw: np.ndarray, s: float,
+                              scale_vel: bool = True):
+        """Reference Map::ApplyScaledRotation (inc/Map.h:122): re-express
+        the whole map in a new world frame p_y = s * Ryw @ p_w (used
+        after IMU init to align gravity with -z and fix monocular
+        scale).  Camera poses become Rcy = Rcw Ryw^T, tcy = s*tcw;
+        world-frame velocities v_y = s * Ryw v_w."""
+        Ryw = np.asarray(Ryw, np.float32)
+        s = float(s)
+        for kf in self.keyframes.values():
+            kf.R = (kf.R @ Ryw.T).astype(np.float32)
+            kf.t = (s * kf.t).astype(np.float32)
+            if kf.v is not None and scale_vel:
+                kf.v = (s * (Ryw @ kf.v)).astype(np.float32)
+            elif kf.v is not None:
+                kf.v = (Ryw @ kf.v).astype(np.float32)
+        n = self._next_mp
+        self.mp_pos[:n] = s * (self.mp_pos[:n] @ Ryw.T)
+        self.mp_normal[:n] = self.mp_normal[:n] @ Ryw.T
+        self.mp_max_dist[:n] *= s
+        self.version += 1
 
     # ------------------------------------------------------- covisibility
 

@@ -47,17 +47,23 @@ class System:
             ).astype(np.uint8)
         return img
 
-    def track_monocular(self, img: np.ndarray, timestamp: float) -> TrackState:
-        """Reference System::TrackMonocular (src/System.cc:346)."""
-        return self.tracker.track(self._to_gray(img), timestamp)
+    def track_monocular(
+        self, img: np.ndarray, timestamp: float, imu=None
+    ) -> TrackState:
+        """Reference System::TrackMonocular (src/System.cc:346).  For
+        inertial sensors, `imu` is the list of (t, acc(3,), gyro(3,))
+        measurements since the previous frame (vImuMeas)."""
+        return self.tracker.track(self._to_gray(img), timestamp, imu=imu)
 
     def track_stereo(
-        self, img_left: np.ndarray, img_right: np.ndarray, timestamp: float
+        self, img_left: np.ndarray, img_right: np.ndarray, timestamp: float,
+        imu=None,
     ) -> TrackState:
         """Reference System::TrackStereo (src/System.cc:222).  Images must
         be rectified; Camera.bf must be set in the config."""
         return self.tracker.track_stereo(
-            self._to_gray(img_left), self._to_gray(img_right), timestamp
+            self._to_gray(img_left), self._to_gray(img_right), timestamp,
+            imu=imu,
         )
 
     def track_rgbd(

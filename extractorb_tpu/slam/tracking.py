@@ -30,7 +30,7 @@ from ..solver import ba as sba
 from ..solver import pnp
 from ..solver import pose_opt as spo
 from .map import INVALID, Atlas, KeyFrame, SLAMMap
-from . import local_mapping
+from . import imu_frontend, local_mapping
 
 
 class TrackState(enum.Enum):
@@ -57,6 +57,12 @@ class Frame:
     # stereo/RGBD channels (reference mvuRight/mvDepth); None for mono
     ur: Optional[np.ndarray] = None
     depth: Optional[np.ndarray] = None
+    # inertial state (reference Frame mVw/mImuBias/mpImuPreintegratedFrame)
+    v: Optional[np.ndarray] = None
+    bg: Optional[np.ndarray] = None
+    ba: Optional[np.ndarray] = None
+    preint_frame: Optional[object] = None   # from the previous frame
+    preint_kf: Optional[object] = None      # from the last keyframe
 
 
 class Tracker:
@@ -114,6 +120,21 @@ class Tracker:
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self._rng = np.random.default_rng(0)
         self._frames_lost = 0
+        self._prev_kf_id = -1   # temporal predecessor for the IMU chain
+
+        # inertial mode (reference: sensor IMU_MONOCULAR/IMU_STEREO)
+        self.inertial = cfg.imu is not None and cfg.sensor.startswith("imu")
+        self.imu_calib = None
+        self.imu_queue = None
+        self.last_kf_ts: Optional[float] = None
+        self.first_kf_ts: Optional[float] = None
+        self.cur_bias = np.zeros(6, np.float32)   # (bg, ba) carried forward
+        if self.inertial:
+            from ..imu.calib import ImuCalib
+
+            self.imu_calib = ImuCalib.from_config(cfg.imu)
+            self.imu_queue = imu_frontend.ImuQueue(self.imu_calib)
+            self.local_mapper.imu_calib = self.imu_calib
 
     # ------------------------------------------------------------ frames
 
@@ -186,19 +207,47 @@ class Tracker:
 
     # ------------------------------------------------------------- entry
 
-    def track(self, img: np.ndarray, ts: float):
-        """GrabImageMonocular + Track (reference Tracking.cc:1038, :1390)."""
+    def grab_imu(self, measurements):
+        """Reference Tracking::GrabImuData (src/Tracking.cc:1111):
+        measurements are (t, acc(3,), gyro(3,)) tuples."""
+        if self.imu_queue is not None and measurements is not None:
+            self.imu_queue.extend(measurements)
+
+    def _preintegrate(self, frame: Frame):
+        """Reference Tracking::PreintegrateIMU (src/Tracking.cc:1117):
+        integrate the queue over (last frame, frame] and (last KF,
+        frame] with the current bias estimate."""
+        if not self.inertial or self.last_frame is None:
+            return
+        frame.preint_frame = self.imu_queue.preintegrate(
+            self.last_frame.timestamp, frame.timestamp, self.cur_bias
+        )
+        if self.last_kf_ts is not None:
+            frame.preint_kf = self.imu_queue.preintegrate(
+                self.last_kf_ts, frame.timestamp, self.cur_bias
+            )
+
+    def track(self, img: np.ndarray, ts: float, imu=None):
+        """GrabImageMonocular + Track (reference Tracking.cc:1038, :1390).
+        `imu` is the optional list of (t, acc, gyro) measurements since
+        the previous frame (inertial sensors)."""
+        self.grab_imu(imu)
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self._monocular_initialization(img, ts)
             return self.state
-        return self._track_existing(self._make_frame(img, ts), ts)
+        frame = self._make_frame(img, ts)
+        self._preintegrate(frame)
+        return self._track_existing(frame, ts)
 
-    def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray, ts: float):
+    def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray, ts: float,
+                     imu=None):
         """GrabImageStereo + Track (reference Tracking.cc + System.cc:222)."""
+        self.grab_imu(imu)
         frame = self._make_frame_stereo(img_l, img_r, ts)
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self._stereo_initialization(frame)
             return self.state
+        self._preintegrate(frame)
         return self._track_existing(frame, ts)
 
     def track_rgbd(self, img: np.ndarray, depthmap: np.ndarray, ts: float):
@@ -272,6 +321,13 @@ class Tracker:
             self._reset_map()
             self.last_frame = frame
             return
+        if self.inertial:
+            self._prev_kf_id = kf.kid
+            self.last_kf_ts = frame.timestamp
+            self.first_kf_ts = frame.timestamp
+            kf.bg = self.cur_bias[:3].copy()
+            kf.ba = self.cur_bias[3:].copy()
+            self.imu_queue.drop_before(frame.timestamp - 0.01)
         self.ref_kf = kf.kid
         self.last_kf_frame_id = frame.frame_id
         self.velocity = None
@@ -443,6 +499,23 @@ class Tracker:
         f2.R, f2.t = kf2.R.copy(), kf2.t.copy()
         f1.kp_mp = kf1.kp_mp
         f2.kp_mp = kf2.kp_mp
+        if self.inertial:
+            # seed the temporal IMU chain with the two init keyframes
+            self._prev_kf_id = kf1.kid
+            self.last_kf_ts = f1.timestamp
+            self.first_kf_ts = f1.timestamp
+            kf2.prev_kf = kf1.kid
+            kf2.imu_meas = self.imu_queue.raw_window(
+                f1.timestamp, f2.timestamp
+            )
+            kf2.preint = self.imu_queue.preintegrate(
+                f1.timestamp, f2.timestamp, self.cur_bias
+            )
+            kf1.bg = kf2.bg = self.cur_bias[:3].copy()
+            kf1.ba = kf2.ba = self.cur_bias[3:].copy()
+            self._prev_kf_id = kf2.kid
+            self.last_kf_ts = f2.timestamp
+            self.imu_queue.drop_before(f2.timestamp - 0.01)
         self.ref_kf = kf2.kid
         self.last_kf_frame_id = f2.frame_id
         self.velocity = None
@@ -456,6 +529,10 @@ class Tracker:
         self.state = TrackState.NO_IMAGES_YET
         self.ref_kf = None
         self.velocity = None
+        self._prev_kf_id = -1
+        self.last_kf_ts = None
+        self.first_kf_ts = None
+        self.cur_bias = np.zeros(6, np.float32)
 
     def _promote(self, f: Frame, mp: SLAMMap) -> KeyFrame:
         kf = KeyFrame(
@@ -473,10 +550,20 @@ class Tracker:
 
     # ----------------------------------------------------------- tracking
 
+    def _imu_ready(self, frame: Frame) -> bool:
+        return (
+            self.inertial
+            and self.atlas.current.imu_initialized
+            and self.last_frame is not None
+            and self.last_frame.v is not None
+            and frame.preint_frame is not None
+        )
+
     def _track_frame(self, frame: Frame) -> bool:
         mp = self.atlas.current
         ok = False
-        if self.velocity is not None and self.last_frame is not None:
+        if (self.velocity is not None or self._imu_ready(frame)) \
+                and self.last_frame is not None:
             ok = self._track_with_motion_model(frame)
         if not ok and self.last_frame is not None:
             ok = self._track_reference_keyframe(frame)
@@ -514,7 +601,18 @@ class Tracker:
         """Reference TrackWithMotionModel (Tracking.cc:2437)."""
         mp = self.atlas.current
         last = self.last_frame
-        R, t = self._predict_pose()
+        if self._imu_ready(frame):
+            # PredictStateIMU (reference Tracking.cc:1230)
+            Rwb1, twb1 = self.imu_calib.body_from_cam(last.R, last.t)
+            Rwb2, twb2, v2 = imu_frontend.predict_state(
+                Rwb1, twb1, last.v, self.cur_bias, frame.preint_frame
+            )
+            R, t = self.imu_calib.cam_from_body(Rwb2, twb2)
+            frame.v = v2
+            frame.bg = self.cur_bias[:3].copy()
+            frame.ba = self.cur_bias[3:].copy()
+        else:
+            R, t = self._predict_pose()
         frame.R, frame.t = R, t
 
         lm_idx = np.where(last.kp_mp >= 0)[0]
@@ -631,11 +729,75 @@ class Tracker:
         frame.kp_mp[matches[rows]] = pt_ids[rows]
         mp.mp_visible[pt_ids[: k][mp_val[:k]]] += 1
 
-        ok = self._pose_opt(frame, min_inliers=30)
+        if self._imu_ready(frame):
+            # PoseInertialOptimizationLastFrame (reference
+            # Optimizer.cc:7722); the IMU factor keeps tracking stable
+            # with fewer visual inliers (reference threshold 15)
+            ok = self._pose_opt_inertial(frame, min_inliers=15)
+        else:
+            ok = self._pose_opt(frame, min_inliers=30)
         if ok:
             found = frame.kp_mp[frame.kp_mp >= 0]
             mp.mp_found[found] += 1
         return ok
+
+    def _pose_opt_inertial(self, frame: Frame, min_inliers: int) -> bool:
+        """Visual-inertial tracking-time state optimisation (reference
+        PoseInertialOptimizationLastFrame, src/Optimizer.cc:7722): the
+        frame's 15-dim body state against visual unary edges + one
+        inertial edge to the previous frame's (fixed) state."""
+        from ..solver import inertial as sin
+
+        mp = self.atlas.current
+        last = self.last_frame
+        calib = self.imu_calib
+        idx = np.where(frame.kp_mp >= 0)[0]
+        if len(idx) < min_inliers:
+            return False
+        N = 2048
+        idx = idx[:N]
+        pts = np.zeros((N, 3), np.float32)
+        uv = np.zeros((N, 2), np.float32)
+        isig = np.ones((N,), np.float32)
+        val = np.zeros((N,), bool)
+        k = len(idx)
+        pts[:k] = mp.mp_pos[frame.kp_mp[idx]]
+        uv[:k] = frame.xy_un[idx]
+        isig[:k] = np.asarray(self.inv_sigma2, np.float32)[
+            np.clip(frame.octave[idx], 0, len(self.inv_sigma2) - 1)
+        ]
+        val[:k] = True
+
+        Rwb1, twb1 = calib.body_from_cam(last.R, last.t)
+        bg1 = last.bg if last.bg is not None else self.cur_bias[:3]
+        ba1 = last.ba if last.ba is not None else self.cur_bias[3:]
+        prev_state = (
+            jnp.asarray(Rwb1), jnp.asarray(twb1), jnp.asarray(last.v),
+            jnp.asarray(bg1), jnp.asarray(ba1),
+        )
+        Rwb0, twb0 = calib.body_from_cam(frame.R, frame.t)
+        v0 = frame.v if frame.v is not None else last.v
+        res = sin.optimize_pose_inertial(
+            jnp.asarray(Rwb0), jnp.asarray(twb0), jnp.asarray(v0),
+            jnp.asarray(bg1), jnp.asarray(ba1),
+            prev_state, frame.preint_frame,
+            jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(isig),
+            jnp.asarray(val),
+            jnp.asarray(calib.Rcb), jnp.asarray(calib.tcb),
+            self.project,
+        )
+        frame.R, frame.t = calib.cam_from_body(
+            np.asarray(res.Rwb), np.asarray(res.twb)
+        )
+        frame.v = np.asarray(res.v)
+        frame.bg = np.asarray(res.bg)
+        frame.ba = np.asarray(res.ba)
+        self.cur_bias = np.concatenate([frame.bg, frame.ba]).astype(
+            np.float32
+        )
+        inl = np.asarray(res.inliers)[:k]
+        frame.kp_mp[idx[~inl]] = INVALID
+        return int(inl.sum()) >= min_inliers
 
     def _pose_opt(self, frame: Frame, min_inliers: int) -> bool:
         """Motion-only BA; drops outlier associations like the reference."""
@@ -707,11 +869,90 @@ class Tracker:
         c1a = frame.frame_id >= self.last_kf_frame_id + self.cfg.tracking.max_frames
         c1b = frame.frame_id >= self.last_kf_frame_id + self.cfg.tracking.min_frames
         c2 = (tracked < ref_tracked * th_ref_ratio or need_close) and tracked > 15
+        # inertial pre-init: insert keyframes at >=4 Hz so the IMU
+        # initialisation window fills quickly (reference Tracking.cc:2647
+        # region: ((mSensor == IMU_*) && !initialized && dt >= 0.25))
+        if (
+            self.inertial
+            and not mp.imu_initialized
+            and self.last_kf_ts is not None
+            and frame.timestamp - self.last_kf_ts >= 0.25
+            and tracked > 15
+        ):
+            return True
         return bool((c1a or (c1b and c2)) and tracked > 15)
+
+    def _attach_inertial(self, kf: KeyFrame, frame: Frame):
+        """Store the IMU chain link on a new keyframe (reference
+        CreateNewKeyFrame: mpImuPreintegratedFromLastKF, mPrevKF)."""
+        if not self.inertial:
+            return
+        kf.prev_kf = self._prev_kf_id
+        if self.last_kf_ts is not None:
+            kf.imu_meas = self.imu_queue.raw_window(
+                self.last_kf_ts, frame.timestamp
+            )
+            kf.preint = frame.preint_kf or (
+                None if kf.imu_meas is None else imu_frontend.integrate_raw(
+                    kf.imu_meas, self.cur_bias, self.imu_calib
+                )
+            )
+        kf.bg = self.cur_bias[:3].copy()
+        kf.ba = self.cur_bias[3:].copy()
+        kf.v = None if frame.v is None else frame.v.copy()
+        self._prev_kf_id = kf.kid
+        self.last_kf_ts = frame.timestamp
+        if self.first_kf_ts is None:
+            self.first_kf_ts = frame.timestamp
+        # keep only the measurements still needed (next KF preint)
+        self.imu_queue.drop_before(frame.timestamp - 0.01)
+
+    def _imu_init_stage(self, frame: Frame):
+        """Staged inertial initialisation (reference LocalMapping.cc
+        :162-219: InitializeIMU(1e2,1e10) -> VIBA1 (1.f,1e5) at 5s ->
+        VIBA2 (0,0) at 15s)."""
+        mp = self.atlas.current
+        if not self.inertial or self.first_kf_ts is None:
+            return
+        elapsed = frame.timestamp - self.first_kf_ts
+        mono = "stereo" not in self.sensor and "rgbd" not in self.sensor
+        fix_scale = not mono
+        done = False
+        if not mp.imu_initialized:
+            if elapsed >= (2.0 if mono else 1.0) and \
+                    len(mp.keyframes) >= 10:
+                done = imu_frontend.initialize_imu(
+                    mp, self.imu_calib, self.project,
+                    prior_g=1e2, prior_a=1e10, fix_scale=fix_scale,
+                )
+        elif not mp.imu_ba1 and elapsed >= 5.0:
+            done = imu_frontend.initialize_imu(
+                mp, self.imu_calib, self.project,
+                prior_g=1.0, prior_a=1e5, fix_scale=fix_scale,
+            )
+            mp.imu_ba1 = True
+        elif mp.imu_ba1 and not mp.imu_ba2 and elapsed >= 15.0:
+            done = imu_frontend.initialize_imu(
+                mp, self.imu_calib, self.project,
+                prior_g=0.0, prior_a=0.0, fix_scale=fix_scale,
+            )
+            mp.imu_ba2 = True
+        if done:
+            # map was rotated/rescaled under us: refresh the frame state
+            # from its keyframe and drop the visual motion model
+            kf = mp.keyframes[self._prev_kf_id]
+            frame.R, frame.t = kf.R.copy(), kf.t.copy()
+            frame.v = None if kf.v is None else kf.v.copy()
+            frame.bg, frame.ba = kf.bg.copy(), kf.ba.copy()
+            self.cur_bias = np.concatenate([kf.bg, kf.ba]).astype(
+                np.float32
+            )
+            self.velocity = None
 
     def _create_keyframe(self, frame: Frame):
         mp = self.atlas.current
         kf = self._promote(frame, mp)
+        self._attach_inertial(kf, frame)
         for kp in np.where(kf.kp_mp >= 0)[0]:
             mid = int(kf.kp_mp[kp])
             if mp.mp_valid[mid]:
@@ -749,6 +990,8 @@ class Tracker:
         self.last_kf_frame_id = frame.frame_id
         # synchronous local mapping step (bounded work budget)
         self.local_mapper.process_keyframe(mp, kf.kid)
+        # staged IMU initialisation / refinement
+        self._imu_init_stage(frame)
         # loop closing (enabled when a vocabulary was provided)
         if self.loop_closer.process_keyframe(mp, kf.kid):
             # poses/points moved under us: drop the motion model and
