@@ -90,6 +90,10 @@ class CameraConfig:
     bf: float = 0.0                 # stereo baseline * fx (Camera.bf)
     fps: float = 30.0
     th_depth: float = 35.0          # ThDepth close/far split
+    # Stereo-fisheye overlap region in x (Camera.lappingBegin/End,
+    # reference: src/Tracking.cc ParseCamParamFile KB8 branch); -1 = unset.
+    lapping_begin: float = -1.0
+    lapping_end: float = -1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,6 +144,11 @@ class SLAMConfig:
     imu: Optional[IMUConfig] = None
     tracking: TrackingConfig = dataclasses.field(default_factory=TrackingConfig)
     sensor: str = "monocular"       # monocular|stereo|rgbd|imu-monocular|...
+    # Stereo-fisheye second camera (Camera2.* keys) and the left-to-right
+    # extrinsic Tlr as a flat row-major 4x4 (p_left = R_lr p_right + t_lr,
+    # i.e. the pose of the right camera expressed in the left frame).
+    camera2: Optional[CameraConfig] = None
+    T_lr: Optional[Tuple[float, ...]] = None
 
 
 def _get(d: dict, key: str, default):
@@ -176,7 +185,37 @@ def load_yaml(path: str) -> SLAMConfig:
         bf=float(_get(d, "Camera.bf", 0.0)),
         fps=float(_get(d, "Camera.fps", 30.0)),
         th_depth=float(_get(d, "ThDepth", 35.0)),
+        lapping_begin=float(_get(d, "Camera.lappingBegin", -1.0)),
+        lapping_end=float(_get(d, "Camera.lappingEnd", -1.0)),
     )
+
+    cam2 = None
+    T_lr = None
+    if "Camera2.fx" in d:
+        cam2 = CameraConfig(
+            model=_get(d, "Camera.type", "KannalaBrandt8"),
+            fx=float(_get(d, "Camera2.fx", 500.0)),
+            fy=float(_get(d, "Camera2.fy", 500.0)),
+            cx=float(_get(d, "Camera2.cx", 320.0)),
+            cy=float(_get(d, "Camera2.cy", 240.0)),
+            k1=float(_get(d, "Camera2.k1", 0.0)),
+            k2=float(_get(d, "Camera2.k2", 0.0)),
+            k3=float(_get(d, "Camera2.k3", 0.0)),
+            k4=float(_get(d, "Camera2.k4", 0.0)),
+            width=cam.width,
+            height=cam.height,
+            lapping_begin=float(_get(d, "Camera2.lappingBegin", -1.0)),
+            lapping_end=float(_get(d, "Camera2.lappingEnd", -1.0)),
+        )
+        tlr = d.get("Tlr") or d.get("Camera.Tlr")
+        if isinstance(tlr, dict) and "data" in tlr:  # OpenCV matrix node
+            flat = [float(v) for v in tlr["data"]]
+            if len(flat) == 12:
+                flat = flat + [0.0, 0.0, 0.0, 1.0]
+            T_lr = tuple(flat)
+        elif isinstance(tlr, (list, tuple)):
+            T_lr = tuple(float(v) for v in tlr)
+
     orb = ORBConfig(
         n_features=int(_get(d, "ORBextractor.nFeatures", 1000)),
         scale_factor=float(_get(d, "ORBextractor.scaleFactor", 1.2)),
@@ -184,4 +223,4 @@ def load_yaml(path: str) -> SLAMConfig:
         ini_th_fast=int(_get(d, "ORBextractor.iniThFAST", 20)),
         min_th_fast=int(_get(d, "ORBextractor.minThFAST", 7)),
     )
-    return SLAMConfig(orb=orb, camera=cam)
+    return SLAMConfig(orb=orb, camera=cam, camera2=cam2, T_lr=T_lr)

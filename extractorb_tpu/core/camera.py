@@ -140,8 +140,12 @@ class KannalaBrandt8:
 
         theta = jax.lax.fori_loop(0, self.newton_iters, body, r_d)
         safe_rd = jnp.where(r_d < 1e-8, 1.0, r_d)
-        scale = jnp.where(r_d < 1e-8, 1.0, jnp.tan(theta) / safe_rd)
-        return jnp.stack([wx * scale, wy * scale, jnp.ones_like(wx)], -1)
+        # Return a unit bearing (sin(th)*x/r, sin(th)*y/r, cos(th)) rather
+        # than a z=1 homogeneous point: fisheye FOVs exceed 180 deg, so
+        # theta may pass pi/2 where tan(theta) flips sign and a z=1
+        # parameterisation cannot represent the ray.
+        s = jnp.where(r_d < 1e-8, 1.0, jnp.sin(theta) / safe_rd)
+        return jnp.stack([wx * s, wy * s, jnp.cos(theta)], -1)
 
 
 def undistort_points_pinhole(uv, cam: Pinhole, dist):
@@ -165,6 +169,78 @@ def undistort_points_pinhole(uv, cam: Pinhole, dist):
 
     x, y = jax.lax.fori_loop(0, 8, body, (x0, y0))
     return jnp.stack([x * cam.fx + cam.cx, y * cam.fy + cam.cy], -1)
+
+
+def triangulate_matches(
+    cam_l,
+    cam_r,
+    uv_l,
+    uv_r,
+    R_rl,
+    t_rl,
+    sigma2_l,
+    sigma2_r,
+    min_parallax_cos: float = 0.9998,
+    chi2: float = 5.991,
+):
+    """Batched two-view triangulation with parallax and chi2 gating.
+
+    Replaces KannalaBrandt8::TriangulateMatches
+    (src/CameraModels/KannalaBrandt8.cpp:336-438): unproject both
+    keypoints to bearing rays, reject low-parallax pairs
+    (cos > 0.9998), mid-point/DLT triangulate against the relative pose
+    [R_rl|t_rl] (left-camera coords -> right-camera coords), require
+    positive depth in both views and reprojection error below
+    chi2 * sigma2 in each image.
+
+    TPU design: the reference solves one 4x4 SVD per match inside a
+    loop; here every match is one row of a batched (N,4,4) SVD, and the
+    DLT rows are written against the unit bearings (b x P p = 0) so rays
+    beyond 90 deg off-axis remain representable.
+
+    Returns (p3d_left (N,3), depth_left (N,), valid (N,)).
+    """
+    b1 = cam_l.unproject(uv_l)  # (N,3) unit bearings, left cam
+    b2 = cam_r.unproject(uv_r)
+    b2_in_l = b2 @ R_rl  # R_lr = R_rl^T; rotate right bearings into left
+    cos_par = jnp.sum(b1 * b2_in_l, axis=-1)
+    parallax_ok = cos_par < min_parallax_cos
+
+    # DLT rows: for bearing b and projection P (3x4), b x (P p) = 0
+    # gives two independent rows  b_z P_0 - b_x P_2  and  b_z P_1 - b_y P_2.
+    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)  # left = identity
+    P2 = jnp.concatenate([R_rl, t_rl[:, None]], axis=1)  # (3,4)
+
+    def rows(b, P):
+        return jnp.stack(
+            [
+                b[..., 2:3] * P[0] - b[..., 0:1] * P[2],
+                b[..., 2:3] * P[1] - b[..., 1:2] * P[2],
+            ],
+            axis=-2,
+        )
+
+    A = jnp.concatenate([rows(b1, P1), rows(b2, P2)], axis=-2)  # (N,4,4)
+    _, _, vt = jnp.linalg.svd(A)
+    hp = vt[..., 3, :]  # (N,4) homogeneous solution
+    w = hp[..., 3]
+    safe_w = jnp.where(jnp.abs(w) < 1e-12, 1.0, w)
+    p3d = hp[..., :3] / safe_w[..., None]  # left-camera coords
+    # Depth along each bearing (not raw z: fisheye rays can pass 90 deg).
+    z1 = jnp.sum(p3d * b1, axis=-1)
+    p3d_r = p3d @ R_rl.T + t_rl
+    z2 = jnp.sum(p3d_r * b2, axis=-1)
+    depth_ok = (z1 > 0) & (z2 > 0) & (jnp.abs(w) > 1e-12)
+
+    uv1_hat = cam_l.project(p3d)
+    uv2_hat = cam_r.project(p3d_r)
+    e1 = jnp.sum((uv1_hat - uv_l) ** 2, axis=-1)
+    e2 = jnp.sum((uv2_hat - uv_r) ** 2, axis=-1)
+    reproj_ok = (e1 <= chi2 * sigma2_l) & (e2 <= chi2 * sigma2_r)
+
+    valid = parallax_ok & depth_ok & reproj_ok
+    depth = p3d[..., 2]
+    return p3d, jnp.where(valid, depth, -1.0), valid
 
 
 def distort_points_pinhole(xy_norm, dist):

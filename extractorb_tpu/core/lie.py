@@ -87,15 +87,19 @@ def so3_log(R):
     q = rot_to_quat(R)  # (w, x, y, z), w >= 0
     qw = q[..., 0]
     v = q[..., 1:]
-    nv = jnp.linalg.norm(v, axis=-1)
-    theta = 2.0 * jnp.arctan2(nv, qw)
-    small = nv < 1e-6
+    # jvp-safe at v = 0: work with the squared norm (smooth everywhere)
+    # and guard the sqrt INSIDE the where so neither branch's tangent
+    # contains d|v|/dv = v/|v| (NaN at the origin); norm's raw jvp would
+    # otherwise poison the Taylor branch via 0 * NaN.
+    nv2 = jnp.sum(v * v, axis=-1)
+    small = nv2 < 1e-12
+    safe_nv = jnp.sqrt(jnp.where(small, 1.0, nv2))
+    theta = 2.0 * jnp.arctan2(safe_nv, qw)
     # factor = theta / nv; Taylor for nv->0 (qw ~ 1): 2/qw * (1 - nv^2/(3 qw^2))
-    safe_nv = jnp.where(small, 1.0, nv)
     safe_qw = jnp.maximum(qw, _EPS)
     factor = jnp.where(
         small,
-        2.0 / safe_qw * (1.0 - nv * nv / (3.0 * safe_qw * safe_qw)),
+        2.0 / safe_qw * (1.0 - nv2 / (3.0 * safe_qw * safe_qw)),
         theta / safe_nv,
     )
     return factor[..., None] * v

@@ -134,3 +134,78 @@ def compute_stereo_matches(
         depth=jnp.where(ok, depth, -1.0),
         valid=ok,
     )
+
+
+class FisheyeStereoMatches(NamedTuple):
+    right_idx: jnp.ndarray  # (NL,) matched right-kp index or -1
+    depth: jnp.ndarray      # (NL,) depth in the left camera or -1
+    p3d: jnp.ndarray        # (NL,3) triangulated point, left-camera coords
+    valid: jnp.ndarray      # (NL,) bool
+
+
+def lapping_mask(xy, lap_begin: float, lap_end: float, valid):
+    """Stereo-overlap membership for fisheye keypoints.
+
+    The reference reorders keypoints so the lapping-area ones sit at the
+    end of the array (ORBextractor.cc:1078-1162 operator() with
+    vLappingArea, Camera.lappingBegin/End); with padded fixed-shape
+    arrays a boolean mask carries the same information.
+    """
+    x = xy[..., 0]
+    return valid & (x >= lap_begin) & (x <= lap_end)
+
+
+def compute_stereo_fisheye_matches(
+    cam_l,
+    cam_r,
+    xy_l, octave_l, desc_l, lap_l,
+    xy_r, octave_r, desc_r, lap_r,
+    R_rl, t_rl,
+    sigma2,
+    ratio: float = 0.7,
+) -> FisheyeStereoMatches:
+    """Non-rectified (fisheye) stereo matching + triangulation.
+
+    Replaces Frame::ComputeStereoFishEyeMatches (src/Frame.cc:1139):
+    the reference brute-force knn-matches the lapping-area descriptors
+    (BFMatcher, ratio 0.7) and triangulates each surviving pair with
+    KannalaBrandt8::TriangulateMatches, keeping matches whose depth
+    gates pass.  Here the knn search is one MXU Hamming matrix over the
+    masked descriptor sets and all candidate pairs triangulate as one
+    batched SVD.
+
+    sigma2: per-octave variance table (n_levels,) — reference uses
+    mvLevelSigma2[octave].
+    """
+    sigma2 = jnp.asarray(sigma2, jnp.float32)
+    dist = hamming_matrix(desc_l, desc_r)  # (NL, NR)
+    INF = jnp.int32(1 << 20)
+    mask = lap_l[:, None] & lap_r[None, :]
+    d = jnp.where(mask, dist, INF)
+    best = jnp.min(d, axis=1)
+    best_idx = jnp.argmin(d, axis=1)
+    # second-best for the ratio test
+    d2 = jnp.where(
+        jax.nn.one_hot(best_idx, d.shape[1], dtype=bool), INF, d
+    )
+    second = jnp.min(d2, axis=1)
+    cand_ok = (best < TH_ORB) & (
+        best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+    )
+
+    from ..core.camera import triangulate_matches
+
+    uv_r_m = xy_r[best_idx]
+    oct_r_m = octave_r[best_idx]
+    s2_l = sigma2[jnp.clip(octave_l, 0, sigma2.shape[0] - 1)]
+    s2_r = sigma2[jnp.clip(oct_r_m, 0, sigma2.shape[0] - 1)]
+    p3d, depth, tri_ok = triangulate_matches(
+        cam_l, cam_r, xy_l, uv_r_m, R_rl, t_rl, s2_l, s2_r
+    )
+    ok = cand_ok & tri_ok & lap_l
+    return FisheyeStereoMatches(
+        right_idx=jnp.where(ok, best_idx, -1),
+        depth=jnp.where(ok, depth, -1.0),
+        p3d=p3d,
+        valid=ok,
+    )

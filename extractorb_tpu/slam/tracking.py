@@ -57,6 +57,10 @@ class Frame:
     # stereo/RGBD channels (reference mvuRight/mvDepth); None for mono
     ur: Optional[np.ndarray] = None
     depth: Optional[np.ndarray] = None
+    # stereo-fisheye: triangulated point per keypoint in left-camera
+    # coords (reference stores these via TriangulateMatches into
+    # mvStereo3Dpoints, Frame.cc:1139 region); None for rectified rigs
+    p3d_stereo: Optional[np.ndarray] = None
     # inertial state (reference Frame mVw/mImuBias/mpImuPreintegratedFrame)
     v: Optional[np.ndarray] = None
     bg: Optional[np.ndarray] = None
@@ -74,15 +78,48 @@ class Tracker:
             [cam_cfg.k1, cam_cfg.k2, cam_cfg.p1, cam_cfg.p2, cam_cfg.k3],
             jnp.float32,
         )
-        self.has_dist = abs(cam_cfg.k1) > 1e-12
+        self.is_fisheye = cam_cfg.model == "KannalaBrandt8"
+        self.has_dist = abs(cam_cfg.k1) > 1e-12 and not self.is_fisheye
         fx, fy, cx, cy = cam_cfg.fx, cam_cfg.fy, cam_cfg.cx, cam_cfg.cy
 
-        def project(pc):
-            return jnp.stack(
-                [fx * pc[0] / pc[2] + cx, fy * pc[1] / pc[2] + cy], -1
-            ).reshape(2)
+        if self.is_fisheye:
+            # KB8: keypoints stay raw (reference keeps mvKeysUn == mvKeys
+            # for fisheye) and all residuals project through the full
+            # theta-polynomial model.
+            from ..core.camera import KannalaBrandt8
+
+            kb8 = KannalaBrandt8.from_config(cam_cfg)
+            self.kb8 = kb8
+
+            def project(pc):
+                return kb8.project(pc).reshape(2)
+
+        else:
+            self.kb8 = None
+
+            def project(pc):
+                return jnp.stack(
+                    [fx * pc[0] / pc[2] + cx, fy * pc[1] / pc[2] + cy], -1
+                ).reshape(2)
 
         self.project = project
+
+        # Stereo-fisheye rig (Camera2.* + Tlr): right camera + extrinsics
+        # (reference: Tracking::ParseCamParamFile KB8 two-camera branch).
+        self.cam_r = None
+        self.R_rl = self.t_rl = None
+        if cfg.camera2 is not None and self.is_fisheye:
+            from ..core.camera import KannalaBrandt8
+
+            self.cam_r = KannalaBrandt8.from_config(cfg.camera2)
+            T = (
+                np.asarray(cfg.T_lr, np.float32).reshape(4, 4)
+                if cfg.T_lr is not None
+                else np.eye(4, dtype=np.float32)
+            )
+            R_lr, t_lr = T[:3, :3], T[:3, 3]
+            self.R_rl = R_lr.T.copy()
+            self.t_rl = (-R_lr.T @ t_lr).astype(np.float32)
         self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
         self.img_wh = (float(cam_cfg.width), float(cam_cfg.height))
 
@@ -91,6 +128,7 @@ class Tracker:
         self.init_extractor = ORBExtractor(init_orb, octree="device")
         self.scale_factors = tuple(float(s) for s in self.extractor.scales)
         sig = [s * s for s in self.scale_factors]
+        self.sigma2 = tuple(sig)
         self.inv_sigma2 = tuple(1.0 / v for v in sig)
 
         # Stereo/RGBD geometry (reference: Camera.bf, ThDepth; mThDepth =
@@ -171,6 +209,37 @@ class Tracker:
 
         frame = self._make_frame(img_l, ts)
         feats_r = self.extractor(jnp.asarray(img_r))
+
+        if self.cam_r is not None:
+            # Non-rectified fisheye rig: match lapping-area descriptors
+            # and triangulate (reference ComputeStereoFishEyeMatches,
+            # Frame.cc:1139; stereo-overlap split ORBextractor.cc:1078).
+            cc, cc2 = self.cfg.camera, self.cfg.camera2
+            lap0 = cc.lapping_begin if cc.lapping_begin >= 0 else 0.0
+            lap1 = cc.lapping_end if cc.lapping_end >= 0 else float(cc.width)
+            lap0r = cc2.lapping_begin if cc2.lapping_begin >= 0 else 0.0
+            lap1r = cc2.lapping_end if cc2.lapping_end >= 0 else float(cc2.width)
+            lap_l = fstereo.lapping_mask(
+                frame.feats.xy, lap0, lap1, frame.feats.valid
+            )
+            lap_r = fstereo.lapping_mask(feats_r.xy, lap0r, lap1r,
+                                         feats_r.valid)
+            res = fstereo.compute_stereo_fisheye_matches(
+                self.kb8, self.cam_r,
+                frame.feats.xy, frame.feats.octave, frame.feats.desc, lap_l,
+                feats_r.xy, feats_r.octave, feats_r.desc, lap_r,
+                jnp.asarray(self.R_rl), jnp.asarray(self.t_rl),
+                np.asarray(self.sigma2, np.float32),
+            )
+            ok = np.asarray(res.valid)
+            frame.depth = np.where(ok, np.asarray(res.depth), -1.0).astype(
+                np.float32
+            )
+            frame.p3d_stereo = np.asarray(res.p3d).astype(np.float32)
+            # no rectified virtual-right coordinate for fisheye
+            # (reference keeps mvuRight = -1): residuals stay monocular
+            return frame
+
         cfg = self.cfg.orb
         pyr_l = tuple(compute_pyramid(jnp.asarray(img_l), cfg.n_levels,
                                       cfg.scale_factor))
@@ -307,10 +376,13 @@ class Tracker:
         n_pts = 0
         for i in np.where(frame.valid & (frame.depth > 0))[0]:
             z = float(frame.depth[i])
-            u, v = frame.xy_un[i]
-            pos = np.array(
-                [(u - cx) * z / fx, (v - cy) * z / fy, z], np.float32
-            )
+            if frame.p3d_stereo is not None:
+                pos = frame.p3d_stereo[i].astype(np.float32)
+            else:
+                u, v = frame.xy_un[i]
+                pos = np.array(
+                    [(u - cx) * z / fx, (v - cy) * z / fy, z], np.float32
+                )
             mid = mp.add_point(pos, frame.desc[i], np.zeros(3, np.float32),
                                1.0, kf.kid)
             mp.add_observation(mid, kf.kid, int(i))
@@ -975,10 +1047,13 @@ class Tracker:
                 z = float(frame.depth[i])
                 if n_created >= 100 and z > self.th_depth:
                     break
-                u, v = frame.xy_un[i]
-                pc = np.array(
-                    [(u - cx) * z / fx, (v - cy) * z / fy, z], np.float32
-                )
+                if frame.p3d_stereo is not None:
+                    pc = frame.p3d_stereo[i].astype(np.float32)
+                else:
+                    u, v = frame.xy_un[i]
+                    pc = np.array(
+                        [(u - cx) * z / fx, (v - cy) * z / fy, z], np.float32
+                    )
                 pos = Rcw.T @ (pc - tcw)
                 mid = mp.add_point(pos, frame.desc[i],
                                    np.zeros(3, np.float32), 1.0, kf.kid)
