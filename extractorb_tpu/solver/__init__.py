@@ -1,1 +1,1 @@
-from . import robust, pose_opt, ba  # noqa: F401
+from . import robust, pose_opt, ba, pose_graph, pnp, inertial  # noqa: F401

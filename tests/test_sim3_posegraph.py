@@ -148,3 +148,73 @@ def test_pose_graph_closes_loop(rng):
     e1 = traj_err(R, t, s)
     assert e1 < e0 * 0.35, (e0, e1)
     assert abs(float(cost)) < 1e-2, cost
+
+
+def test_pose_graph_4dof_closes_loop(rng):
+    """Inertial essential graph (Optimizer.cc:8153): yaw+translation
+    drift on a circle is corrected by one loop edge; roll/pitch stay
+    exactly fixed because they are not in the tangent."""
+    K = 24
+    Rs_gt, ts_gt = [], []
+    for k in range(K):
+        a = 2 * np.pi * k / K
+        Rwc = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, a], jnp.float32)))
+        C = np.array([np.cos(a), np.sin(a), 0.0], np.float32) * 3.0
+        R = Rwc.T
+        ts_gt.append((-R @ C).astype(np.float32))
+        Rs_gt.append(R.astype(np.float32))
+
+    def rel(Ri, ti, Rj, tj):
+        Rii, tii = lie.se3_inverse(jnp.asarray(Ri), jnp.asarray(ti))
+        return lie.se3_compose(jnp.asarray(Rj), jnp.asarray(tj), Rii, tii)
+
+    # drifted estimate: chain odometry with a yaw+translation drift factor
+    Rs_est, ts_est = [Rs_gt[0]], [ts_gt[0]]
+    edges = []
+    for k in range(1, K):
+        mR, mt = rel(Rs_gt[k - 1], ts_gt[k - 1], Rs_gt[k], ts_gt[k])
+        edges.append((k - 1, k, np.asarray(mR), np.asarray(mt), 1.0))
+        dR, dt = lie.se3_exp(
+            jnp.asarray([0.0, 0.0, 0.02, 0.015, 0.01, 0.0], jnp.float32)
+        )
+        mRd, mtd = lie.se3_compose(dR, dt, mR, mt)
+        Re, te = lie.se3_compose(
+            mRd, mtd, jnp.asarray(Rs_est[-1]), jnp.asarray(ts_est[-1])
+        )
+        Rs_est.append(np.asarray(Re))
+        ts_est.append(np.asarray(te))
+
+    mR, mt = rel(Rs_gt[K - 1], ts_gt[K - 1], Rs_gt[0], ts_gt[0])
+    edges.append((K - 1, 0, np.asarray(mR), np.asarray(mt), 5.0))
+
+    E = len(edges)
+    prob = pg.PoseGraph4DoFProblem(
+        R=jnp.asarray(np.stack(Rs_est)),
+        t=jnp.asarray(np.stack(ts_est)),
+        edge_i=jnp.asarray(np.array([e[0] for e in edges], np.int32)),
+        edge_j=jnp.asarray(np.array([e[1] for e in edges], np.int32)),
+        m_R=jnp.asarray(np.stack([e[2] for e in edges])),
+        m_t=jnp.asarray(np.stack([e[3] for e in edges])),
+        weight=jnp.asarray(np.array([e[4] for e in edges], np.float32)),
+        edge_valid=jnp.ones(E, bool),
+        fixed=jnp.asarray(np.arange(K) == 0),
+    )
+    R, t, cost = pg.optimize_pose_graph_4dof(prob, n_iters=25, cg_iters=40)
+    R, t = map(np.asarray, (R, t))
+
+    def traj_err(Rs, ts):
+        e = 0.0
+        for k in range(K):
+            C_est = -(Rs[k].T @ ts[k])
+            C_gt = -(Rs_gt[k].T @ ts_gt[k])
+            e += np.linalg.norm(C_est - C_gt) ** 2
+        return np.sqrt(e / K)
+
+    e0 = traj_err(np.stack(Rs_est), np.stack(ts_est))
+    e1 = traj_err(R, t)
+    assert e1 < e0 * 0.35, (e0, e1)
+    # gravity direction untouched: world z in camera frame keeps its tilt
+    for k in range(K):
+        gz_est = R[k] @ np.array([0, 0, 1.0], np.float32)
+        gz0 = np.stack(Rs_est)[k] @ np.array([0, 0, 1.0], np.float32)
+        np.testing.assert_allclose(gz_est, gz0, atol=1e-4)
