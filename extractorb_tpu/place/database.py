@@ -38,6 +38,14 @@ class KeyFrameDatabase:
         self.kf_ids[row] = kf_id
         self.rows[kf_id] = row
 
+    def rekey(self, old_id: int, new_id: int):
+        """Rename an entry in place (used when Atlas maps merge and the
+        welded keyframes receive new ids)."""
+        row = self.rows.pop(old_id, None)
+        if row is not None:
+            self.kf_ids[row] = new_id
+            self.rows[new_id] = row
+
     def erase(self, kf_id: int):
         row = self.rows.pop(kf_id, None)
         if row is not None:

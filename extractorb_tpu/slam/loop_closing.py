@@ -24,49 +24,89 @@ from ..solver import pose_graph as pg
 from .map import SLAMMap
 
 
+# Keyframe-database keys are Atlas-global: (map id, keyframe id) packed
+# into one int64 so entries from different maps never collide (keyframe
+# ids restart at 0 in each new Atlas map).
+_MID_STRIDE = 1 << 32
+
+
+def encode_dbid(mid: int, kf_id: int) -> int:
+    return mid * _MID_STRIDE + kf_id
+
+
+def decode_dbid(key: int) -> Tuple[int, int]:
+    return int(key) // _MID_STRIDE, int(key) % _MID_STRIDE
+
+
 class LoopCloser:
-    def __init__(self, vocab, project, min_score_candidates: int = 3):
+    def __init__(self, vocab, project, min_score_candidates: int = 3,
+                 inv_sigma2=None):
         from ..place.database import KeyFrameDatabase
 
         self.db = KeyFrameDatabase(vocab, capacity=256) if vocab else None
         self.project = project
+        self.inv_sigma2 = inv_sigma2
         self.n_loops = 0
+        self.n_merges = 0
         self._rng = np.random.default_rng(7)
 
     # ------------------------------------------------------------ per-KF
 
-    def process_keyframe(self, mp: SLAMMap, kf_id: int) -> bool:
-        """Detect + correct a loop for the new keyframe.  Returns True if
-        a loop was closed."""
+    def process_keyframe(self, mp: SLAMMap, kf_id: int, atlas=None):
+        """Detect + correct a loop (same map) or merge (other Atlas map)
+        for the new keyframe.  Returns False, True (loop closed), or a
+        merge-info dict (truthy) from slam.merge.merge_maps."""
         if self.db is None:
             return False
+        mid = mp.mid
         kf = mp.keyframes[kf_id]
         covis = {k for k, _ in mp.covisible_keyframes(kf_id, 1)} | {kf_id}
         cands = self.db.query(
-            kf.desc, valid=kf.valid, exclude=covis, n_best=3
+            kf.desc, valid=kf.valid,
+            exclude={encode_dbid(mid, k) for k in covis}, n_best=5,
         )
-        self.db.add(kf_id, kf.desc, valid=kf.valid)
-        # need some temporal separation and an established map
-        cands = [c for c in cands if abs(c[0] - kf_id) > 5]
-        if not cands or len(mp.keyframes) < 8:
-            return False
+        self.db.add(encode_dbid(mid, kf_id), kf.desc, valid=kf.valid)
+        same = [
+            (k, s) for key, s in cands
+            for m, k in [decode_dbid(key)]
+            if m == mid and abs(k - kf_id) > 5
+        ]
+        cross = [
+            (m, k, s) for key, s in cands
+            for m, k in [decode_dbid(key)]
+            if m != mid
+        ]
 
-        for cand_id, score in cands:
-            if cand_id not in mp.keyframes:
-                continue
-            ok = self._verify_and_correct(mp, kf_id, cand_id)
-            if ok:
-                self.n_loops += 1
-                return True
+        if len(mp.keyframes) >= 8:
+            for cand_id, _ in same[:3]:
+                if cand_id not in mp.keyframes:
+                    continue
+                if self._verify_and_correct(mp, kf_id, cand_id):
+                    self.n_loops += 1
+                    return True
+
+        # cross-map candidate -> Atlas map merge (reference
+        # NewDetectCommonRegions finding mpMergeMatchedKF in another map,
+        # src/LoopClosing.cc:129 -> MergeLocal :1252)
+        if atlas is not None:
+            for m, k, _ in cross[:3]:
+                other = atlas.map_by_mid(m)
+                if other is None or k not in other.keyframes:
+                    continue
+                info = self._verify_and_merge(atlas, mp, kf_id, other, k)
+                if info:
+                    self.n_merges += 1
+                    return info
         return False
 
     # ------------------------------------------------------ verification
 
-    def _verify_and_correct(self, mp: SLAMMap, kf_id: int, cand_id: int) -> bool:
-        kf1 = mp.keyframes[kf_id]      # current
-        kf2 = mp.keyframes[cand_id]    # loop candidate
-
-        # mutual-best match between map-point-bearing keypoints
+    def _sim3_between(self, mp1_map: SLAMMap, kf1, mp2_map: SLAMMap, kf2):
+        """Mutual-best descriptor match between map-point-bearing
+        keypoints of two keyframes + batched Sim3 RANSAC (reference
+        Sim3Solver consumes matched MapPoints' camera-frame positions).
+        Returns (S_R, S_t, S_s, inlier_pairs) with p_cam2 = s R p_cam1 + t,
+        or None."""
         m12, _ = fm.mutual_best_match(
             jnp.asarray(kf1.desc), jnp.asarray(kf1.valid & (kf1.kp_mp >= 0)),
             jnp.asarray(kf2.desc), jnp.asarray(kf2.valid & (kf2.kp_mp >= 0)),
@@ -74,10 +114,8 @@ class LoopCloser:
         m12 = np.asarray(m12)
         rows = np.where(m12 >= 0)[0]
         if len(rows) < 20:
-            return False
+            return None
 
-        # 3D-3D correspondences in each camera frame (reference Sim3Solver
-        # consumes the matched MapPoints' positions in both cameras)
         cap = 512
         p1 = np.zeros((cap, 3), np.float32)
         p2 = np.zeros((cap, 3), np.float32)
@@ -90,19 +128,20 @@ class LoopCloser:
             i2 = int(m12[i1])
             mp1 = int(kf1.kp_mp[i1])
             mp2 = int(kf2.kp_mp[i2])
-            if mp1 < 0 or mp2 < 0 or not mp.mp_valid[mp1] or not mp.mp_valid[mp2]:
+            if (mp1 < 0 or mp2 < 0 or not mp1_map.mp_valid[mp1]
+                    or not mp2_map.mp_valid[mp2]):
                 continue
             if n >= cap:
                 break
-            p1[n] = kf1.R @ mp.mp_pos[mp1] + kf1.t
-            p2[n] = kf2.R @ mp.mp_pos[mp2] + kf2.t
+            p1[n] = kf1.R @ mp1_map.mp_pos[mp1] + kf1.t
+            p2[n] = kf2.R @ mp2_map.mp_pos[mp2] + kf2.t
             uv1[n] = kf1.xy_un[i1]
             uv2[n] = kf2.xy_un[i2]
             valid[n] = True
             pair_rows.append((mp1, mp2))
             n += 1
         if n < 20:
-            return False
+            return None
 
         res = gsim3.solve_sim3_ransac(
             jax.random.PRNGKey(int(self._rng.integers(1 << 30))),
@@ -110,20 +149,62 @@ class LoopCloser:
             jnp.asarray(uv2), jnp.asarray(valid), self.project,
         )
         if not bool(res.success):
-            return False
-
-        # S12: cam1 points -> cam2 frame... solver gives p2 = S R p1 + t
-        S_R = np.asarray(res.R12)
-        S_t = np.asarray(res.t12)
-        S_s = float(res.s12)
-        self._correct_loop(mp, kf_id, cand_id, S_R, S_t, S_s)
-
-        # fuse duplicate map points among verified inlier pairs
+            return None
         inl = np.asarray(res.inliers)
-        for j, (mp1, mp2) in enumerate(pair_rows):
-            if j < len(inl) and inl[j] and mp1 != mp2:
+        pairs = [pr for j, pr in enumerate(pair_rows) if j < len(inl) and inl[j]]
+        return np.asarray(res.R12), np.asarray(res.t12), float(res.s12), pairs
+
+    def _verify_and_correct(self, mp: SLAMMap, kf_id: int, cand_id: int) -> bool:
+        got = self._sim3_between(
+            mp, mp.keyframes[kf_id], mp, mp.keyframes[cand_id]
+        )
+        if got is None:
+            return False
+        S_R, S_t, S_s, pairs = got
+        self._correct_loop(mp, kf_id, cand_id, S_R, S_t, S_s)
+        # fuse duplicate map points among verified inlier pairs
+        for mp1, mp2 in pairs:
+            if mp1 != mp2:
                 self._merge_points(mp, keep=mp2, drop=mp1)
         return True
+
+    # ------------------------------------------------------------- merge
+
+    def _verify_and_merge(
+        self, atlas, mp: SLAMMap, kf_id: int, other: SLAMMap, cand_id: int
+    ):
+        """Weld the active map into `other` (reference MergeLocal,
+        src/LoopClosing.cc:1252)."""
+        from . import merge as mg
+
+        got = self._sim3_between(
+            mp, mp.keyframes[kf_id], other, other.keyframes[cand_id]
+        )
+        if got is None:
+            return None
+        S_R, S_t, S_s, pairs = got
+        info = mg.merge_maps(
+            atlas, drop=mp, keep=other, kf_drop_id=kf_id,
+            kf_keep_id=cand_id, S_R=S_R, S_t=S_t, S_s=S_s,
+        )
+        # re-key this closer's database entries for the welded keyframes
+        for old_id, new_id in info["kf_remap"].items():
+            self.db.rekey(
+                encode_dbid(mp.mid, old_id), encode_dbid(other.mid, new_id)
+            )
+        # fuse the verified duplicate landmark pairs (drop ids remapped)
+        remap = info["mp_remap"]
+        for mp1, mp2 in pairs:
+            m1 = remap.get(mp1, -1)
+            if m1 >= 0 and m1 != mp2:
+                self._merge_points(other, keep=mp2, drop=m1)
+        # welding bundle adjustment around the seam
+        if self.inv_sigma2 is not None:
+            mg.weld_bundle_adjustment(
+                other, info["kf_cur"], info["kf_matched"],
+                self.project, self.inv_sigma2,
+            )
+        return info
 
     def _merge_points(self, mp: SLAMMap, keep: int, drop: int):
         """MapPoint::Replace analog: move observations of `drop` to `keep`."""

@@ -67,6 +67,7 @@ class SLAMMap:
     """One map of the Atlas (reference Map, inc/Map.h:75)."""
 
     def __init__(self, capacity: int = 20000):
+        self.mid = 0  # stable Atlas-wide map id (set by Atlas)
         self.keyframes: Dict[int, KeyFrame] = {}
         self._next_kf = 0
         self._next_mp = 0
@@ -256,17 +257,38 @@ class SLAMMap:
 
 class Atlas:
     """Multi-map container (reference Atlas, inc/Atlas.h:76): tracking
-    loss with a big enough map starts a fresh map; maps can later be
-    merged by loop closing (round 2+)."""
+    loss with a big enough map starts a fresh map; when place
+    recognition later finds a keyframe of an old map, loop closing welds
+    the maps back together (slam/merge.py)."""
 
     def __init__(self):
-        self.maps: List[SLAMMap] = [SLAMMap()]
+        self._next_mid = 0
+        self.maps: List[SLAMMap] = [self._new()]
         self.active = 0
+
+    def _new(self) -> SLAMMap:
+        m = SLAMMap()
+        m.mid = self._next_mid
+        self._next_mid += 1
+        return m
 
     @property
     def current(self) -> SLAMMap:
         return self.maps[self.active]
 
     def create_new_map(self):
-        self.maps.append(SLAMMap())
+        self.maps.append(self._new())
         self.active = len(self.maps) - 1
+
+    def map_by_mid(self, mid: int) -> Optional[SLAMMap]:
+        for m in self.maps:
+            if m.mid == mid:
+                return m
+        return None
+
+    def remove_map(self, mid: int):
+        """Drop a (merged-away) map, keeping `active` pointing at the
+        same SLAMMap object."""
+        cur = self.current
+        self.maps = [m for m in self.maps if m.mid != mid]
+        self.active = self.maps.index(cur) if cur in self.maps else 0

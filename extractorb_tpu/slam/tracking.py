@@ -147,7 +147,9 @@ class Tracker:
         )
         from .loop_closing import LoopCloser
 
-        self.loop_closer = LoopCloser(vocab, self.project)
+        self.loop_closer = LoopCloser(
+            vocab, self.project, inv_sigma2=self.inv_sigma2
+        )
         self._next_frame_id = 0
         self.init_frame: Optional[Frame] = None
         self.prev_matched: Optional[np.ndarray] = None
@@ -156,6 +158,10 @@ class Tracker:
         self.velocity: Optional[Tuple[np.ndarray, np.ndarray]] = None
         self.last_kf_frame_id = 0
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        # first trajectory index recorded in the CURRENT Atlas map's
+        # coordinates (reset on Atlas recovery; used to re-express the
+        # segment when maps merge)
+        self._map_traj_start = 0
         self._rng = np.random.default_rng(0)
         self._frames_lost = 0
         self._prev_kf_id = -1   # temporal predecessor for the IMU chain
@@ -418,8 +424,13 @@ class Tracker:
         db = self.loop_closer.db
         candidates = []
         if db is not None:
+            from .loop_closing import decode_dbid
+
             candidates = [
-                k for k, _ in db.query(frame.desc, valid=frame.valid, n_best=3)
+                k
+                for key, _ in db.query(frame.desc, valid=frame.valid, n_best=5)
+                for m, k in [decode_dbid(key)]
+                if m == mp.mid
             ]
         if not candidates:
             # fallback: most recent keyframes
@@ -597,6 +608,7 @@ class Tracker:
 
     def _reset_map(self):
         self.atlas.create_new_map()
+        self._map_traj_start = len(self.trajectory)
         self.init_frame = None
         self.state = TrackState.NO_IMAGES_YET
         self.ref_kf = None
@@ -605,6 +617,31 @@ class Tracker:
         self.last_kf_ts = None
         self.first_kf_ts = None
         self.cur_bias = np.zeros(6, np.float32)
+
+    def _after_map_merge(self, info: dict, frame: Frame):
+        """Fixup after an Atlas map merge (reference MergeLocal tail,
+        src/LoopClosing.cc:1252 region): the active map changed, the
+        welded keyframes got new ids, and everything recorded in the
+        dropped map's coordinates must be re-expressed."""
+        remap = info["kf_remap"]
+        mp = self.atlas.current
+        if self.ref_kf is not None:
+            self.ref_kf = remap.get(self.ref_kf, info["kf_cur"])
+        if self._prev_kf_id >= 0:
+            self._prev_kf_id = remap.get(self._prev_kf_id, -1)
+        kf = mp.keyframes[info["kf_cur"]]
+        frame.R = kf.R.copy()
+        frame.t = kf.t.copy()
+        frame.kp_mp = kf.kp_mp.copy()
+        if frame.v is not None and kf.v is not None:
+            frame.v = kf.v.copy()
+        Rw, tw, sw = info["world_sim3"]
+        for i in range(self._map_traj_start, len(self.trajectory)):
+            ts, R, t = self.trajectory[i]
+            Rn = (R @ Rw.T).astype(np.float32)
+            tn = (sw * t - Rn @ tw).astype(np.float32)
+            self.trajectory[i] = (ts, Rn, tn)
+        self._map_traj_start = 0
 
     def _promote(self, f: Frame, mp: SLAMMap) -> KeyFrame:
         kf = KeyFrame(
@@ -1068,9 +1105,13 @@ class Tracker:
         # staged IMU initialisation / refinement
         self._imu_init_stage(frame)
         # loop closing (enabled when a vocabulary was provided)
-        if self.loop_closer.process_keyframe(mp, kf.kid):
+        lc = self.loop_closer.process_keyframe(mp, kf.kid, atlas=self.atlas)
+        if lc:
             # poses/points moved under us: drop the motion model and
             # refresh the frame pose from the corrected keyframe
             self.velocity = None
-            frame.R = mp.keyframes[kf.kid].R.copy()
-            frame.t = mp.keyframes[kf.kid].t.copy()
+            if isinstance(lc, dict) and lc.get("type") == "merge":
+                self._after_map_merge(lc, frame)
+            else:
+                frame.R = mp.keyframes[kf.kid].R.copy()
+                frame.t = mp.keyframes[kf.kid].t.copy()
