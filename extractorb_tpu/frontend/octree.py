@@ -214,6 +214,14 @@ def distribute_device(
     Returns (keep_mask (K,), depth_used ()).  Keeps the argmax-response
     keypoint of every occupied cell at the smallest depth whose occupied
     cell count reaches n_target (or the deepest table).
+
+    Cost: exactly TWO K-element sorts (sorts dominate this op on TPU).
+    Sort 1 keys on a quadtree PATH code (top-level x cell, then one
+    (by, bx) child-bit pair per depth): every depth-d cell is a PREFIX of
+    the code, so one sorted array yields the occupied-cell count at ALL
+    depths as prefix-transition counts.  Sort 2 is a stable sort by the
+    packed (cell_at_selected_depth << 8 | 255-resp) key whose group
+    leaders are the per-cell argmax; a scatter restores input order.
     """
     d_max = 7
     x_edges, y_edges = _cuts_for_depth(width, height, d_max)
@@ -221,39 +229,63 @@ def distribute_device(
     x = xy[:, 0] - min_x
     y = xy[:, 1] - min_y
 
-    # One searchsorted pair at the FINEST depth; coarser cell indices come
-    # from static fine->coarse lookup tables (cells nest).
-    def coarse_map(fine_edges, coarse_edges):
-        # index of the coarse interval containing each fine interval
-        return np.searchsorted(
-            coarse_edges[1:-1], fine_edges[:-1], side="right"
-        ).astype(np.int32)
-
-    xe_f = jnp.asarray(x_edges[d_max][1:-1])
-    ye_f = jnp.asarray(y_edges[d_max][1:-1])
-    cx_f = jnp.searchsorted(xe_f, x, side="right").astype(jnp.int32)
-    cy_f = jnp.searchsorted(ye_f, y, side="right").astype(jnp.int32)
-
-    # Occupancy per depth and the final per-cell argmax are computed with
-    # small lexicographic sorts over the K keypoints — TPU scatters into
-    # cell grids lower to one-hot expansions costing 100s of MB.
-    SENT = jnp.int32(2**30)
-    counts = []
-    cells_per_depth = []
-    for d in range(d_max + 1):
-        if d == d_max:
-            cx, cy = cx_f, cy_f
-        else:
-            cx = jnp.asarray(coarse_map(x_edges[d_max], x_edges[d]))[cx_f]
-            cy = jnp.asarray(coarse_map(y_edges[d_max], y_edges[d]))[cy_f]
-        n_cx = len(x_edges[d]) - 1
-        cell = jnp.where(valid, cy * n_cx + cx, SENT).astype(jnp.int32)
-        cells_per_depth.append(cell)
-        srt = jnp.sort(cell)
-        newgrp = jnp.concatenate(
-            [jnp.ones((1,), bool), srt[1:] != srt[:-1]]
+    def cell_index(coord, edges_np):
+        # interval index via broadcast compare (tables are tiny; avoids
+        # gathers, which XLA lowers poorly on TPU)
+        inner = jnp.asarray(edges_np[1:-1], jnp.int32)
+        return jnp.sum(
+            (coord[:, None] >= inner[None, :]).astype(jnp.int32), axis=1
         )
-        counts.append(jnp.sum((newgrp & (srt < SENT)).astype(jnp.int32)))
+
+    # Per-depth cell ids in ORIGINAL keypoint order (compare-based, cheap)
+    cells_per_depth = []
+    SENT = jnp.int32(2**30)
+    for d in range(d_max + 1):
+        cx = cell_index(x, x_edges[d])
+        cy = cell_index(y, y_edges[d])
+        n_cx = len(x_edges[d]) - 1
+        n_cy = len(y_edges[d]) - 1
+        assert n_cx * n_cy < (1 << 22), "cell id must fit packed int32 key"
+        cells_per_depth.append(
+            jnp.where(valid, cy * n_cx + cx, SENT).astype(jnp.int32)
+        )
+
+    # Quadtree path code per keypoint: child bit per axis per depth,
+    # derived from static per-axis tables over FINE interval indices.
+    def axis_path_bits(edges_list):
+        fine = edges_list[d_max]
+        code = np.zeros(len(fine) - 1, np.int64)
+        for d in range(1, d_max + 1):
+            idx_d = np.searchsorted(edges_list[d][1:-1], fine[:-1], "right")
+            idx_p = np.searchsorted(edges_list[d - 1][1:-1], fine[:-1], "right")
+            start = np.full(len(edges_list[d - 1]) - 1, 1 << 30, np.int64)
+            np.minimum.at(start, idx_p, idx_d)
+            child = idx_d - start[idx_p]
+            assert child.min() >= 0 and child.max() <= 1
+            code = (code << 1) | child
+        top = np.searchsorted(edges_list[0][1:-1], fine[:-1], "right")
+        return code.astype(np.int32), top.astype(np.int32)
+
+    bx_tab, topx_tab = axis_path_bits(x_edges)
+    by_tab, _ = axis_path_bits(y_edges)
+    cx_f = cell_index(x, x_edges[d_max])
+    cy_f = cell_index(y, y_edges[d_max])
+    kx = jnp.asarray(bx_tab)[cx_f]
+    ky = jnp.asarray(by_tab)[cy_f]
+    topx = jnp.asarray(topx_tab)[cx_f]
+    morton = jnp.zeros_like(kx)
+    for i in range(d_max):  # interleave (by, bx) per depth
+        morton |= (((kx >> i) & 1) | (((ky >> i) & 1) << 1)) << (2 * i)
+    path = jnp.where(valid, (topx << (2 * d_max)) | morton, SENT)
+
+    p1 = jnp.sort(path)
+    counts = []
+    for d in range(d_max + 1):
+        shift = 2 * (d_max - d)
+        pre = p1 >> shift
+        pre = jnp.where(p1 < SENT, pre, SENT)
+        head = jnp.concatenate([jnp.ones((1,), bool), pre[1:] != pre[:-1]])
+        counts.append(jnp.sum((head & (pre < SENT)).astype(jnp.int32)))
 
     counts = jnp.stack(counts)  # (d_max+1,)
     reached = counts >= n_target
@@ -263,14 +295,20 @@ def distribute_device(
         [depth == d for d in range(d_max + 1)], cells_per_depth
     ).astype(jnp.int32)
     # per-cell argmax response, earliest-index tiebreak (reference keeps
-    # the first max in node insertion order): lexicographic sort by
-    # (cell asc, resp desc, idx asc); group leaders win; unsort by idx.
+    # the first max in node insertion order): ONE stable sort by the
+    # packed key (cell asc, resp desc); stability keeps index order among
+    # exact ties.  resp is a FAST score in [0, 255].
     idx = jnp.arange(K, dtype=jnp.int32)
-    neg_resp = jnp.int32(255) - resp
-    c_s, r_s, i_s = jax.lax.sort((cell, neg_resp, idx), num_keys=3)
-    leader = jnp.concatenate([jnp.ones((1,), bool), c_s[1:] != c_s[:-1]])
-    leader &= c_s < SENT
-    # restore original order: sort (i_s, leader) by index
-    _, keep = jax.lax.sort((i_s, leader.astype(jnp.int32)), num_keys=1)
-    keep = keep.astype(bool) & valid
+    packed = jnp.where(
+        cell < SENT,
+        cell * jnp.int32(256) + (jnp.int32(255) - resp),
+        SENT,
+    )
+    p_s, i_s = jax.lax.sort((packed, idx), num_keys=1, is_stable=True)
+    leader = jnp.concatenate(
+        [jnp.ones((1,), bool), (p_s[1:] >> 8) != (p_s[:-1] >> 8)]
+    )
+    leader &= p_s < SENT
+    keep = jnp.zeros((K,), bool).at[i_s].set(leader, mode="drop")
+    keep &= valid
     return keep, depth
