@@ -94,11 +94,18 @@ class ORBExtractor:
                 )
                 xy, resp, valid = jnp.asarray(xy), jnp.asarray(resp), jnp.asarray(valid)
             else:
-                xy_all, resp_all, valid_all = ffast.collect_keypoints(
-                    keep, score, cfg.max_kps_per_level
-                )
                 h, w = bordered.shape
                 H, W = h - 2 * EDGE_THRESHOLD, w - 2 * EDGE_THRESHOLD
+                # candidate capacity scales with level area (sorts dominate
+                # the downstream octree cost; a flat capacity wastes 3-8x
+                # work on the small upper levels)
+                k_lvl = min(
+                    cfg.max_kps_per_level,
+                    max(512, -(-(H * W) // 75 // 512) * 512),
+                )
+                xy_all, resp_all, valid_all = ffast.collect_keypoints(
+                    keep, score, k_lvl
+                )
                 min_b = ffast.MIN_BORDER
                 sel, _ = foctree.distribute_device(
                     xy_all, resp_all, valid_all, budget,

@@ -104,7 +104,7 @@ def main():
         acc = seed
         for i, L in enumerate(levels):
             xy, r, v = ffast.collect_keypoints(
-                L["keep"] & (seed > -1), L["score"], cfg.max_kps_per_level
+                L["keep"] & (seed > -1e9), L["score"], cfg.max_kps_per_level
             )
             acc += r.sum() * 1e-9 + xy.sum() * 1e-9
         return acc
@@ -113,7 +113,7 @@ def main():
         acc = seed
         for L in levels:
             sel, _ = foctree.distribute_device(
-                L["xy_all"], L["resp_all"] + seed * 0, L["valid_all"],
+                L["xy_all"], L["resp_all"] + (seed - seed + (seed.astype(jnp.int32) & 1).astype(seed.dtype) * 0.001), L["valid_all"],
                 L["budget"], L["W"] - 2 * L["min_b"], L["H"] - 2 * L["min_b"],
                 L["min_b"], L["min_b"],
             )
@@ -124,7 +124,7 @@ def main():
         acc = seed
         for L in levels:
             xy, r, v = fex._compact(
-                L["xy_all"], L["resp_all"] + seed * 0, L["valid_all"], L["cap_l"]
+                L["xy_all"], L["resp_all"] + (seed - seed + (seed.astype(jnp.int32) & 1).astype(seed.dtype) * 0.001), L["valid_all"], L["cap_l"]
             )
             acc += r.sum() * 1e-9
         return acc
@@ -132,14 +132,14 @@ def main():
     def s_angle(seed, *a):
         acc = seed
         for L in levels:
-            ang = forient.ic_angle(L["bordered"], L["xy"], L["valid"] & (seed > -1))
+            ang = forient.ic_angle(L["bordered"], L["xy"], L["valid"] & (seed > -1e9))
             acc += ang.sum() * 1e-9
         return acc
 
     def s_blur(seed, *a):
         acc = seed
         for L in levels:
-            bl = fblur.blur_level(L["bordered"] + seed.astype(jnp.uint8) * 0)
+            bl = fblur.blur_level(L["bordered"] + (seed.astype(jnp.uint8) & 1))
             acc += bl[::64, ::64].astype(jnp.float32).sum() * 1e-9
         return acc
 
@@ -147,7 +147,7 @@ def main():
         acc = seed
         for L in levels:
             bits = fbrief.compute_descriptors(
-                L["blurred"], L["xy"], L["angles"] + seed * 0, L["valid"]
+                L["blurred"], L["xy"], L["angles"] + (seed - seed + (seed.astype(jnp.int32) & 1).astype(seed.dtype) * 0.001), L["valid"]
             )
             desc = fbrief.pack_bits_u8(bits)
             acc += desc.astype(jnp.float32).sum() * 1e-9

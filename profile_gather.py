@@ -57,7 +57,7 @@ def main():
     def m1(seed, img, y0, x0):
         def one(yy, xx):
             return jax.lax.dynamic_slice(img, (yy, xx), (P, P))
-        p = jax.vmap(one)(y0 + seed.astype(jnp.int32) * 0, x0)
+        p = jax.vmap(one)(y0 + (seed.astype(jnp.int32) & 1), x0)
         return seed + checksum(p)
 
     # 2. flat scalar gather with broadcast index arithmetic
@@ -65,7 +65,7 @@ def main():
         dv = jnp.arange(P, dtype=jnp.int32)
         idx = ((y0[:, None] + dv[None, :])[:, :, None] * W
                + (x0[:, None] + dv[None, :])[:, None, :])
-        p = img.reshape(-1)[idx.reshape(K, -1) + seed.astype(jnp.int32) * 0]
+        p = img.reshape(-1)[idx.reshape(K, -1) + (seed.astype(jnp.int32) & 1)]
         return seed + checksum(p)
 
     # 3. row gather (fancy index rows), then per-row dynamic slice via take
@@ -74,7 +74,7 @@ def main():
         rows = img[(y0[:, None] + dv[None, :]).reshape(-1)]  # (K*P, W)
         cols = (x0[:, None, None] + dv[None, None, :])       # (K,1,P)
         cols = jnp.broadcast_to(cols, (K, P, P)).reshape(K * P, P)
-        p = jnp.take_along_axis(rows, cols + seed.astype(jnp.int32) * 0, axis=1)
+        p = jnp.take_along_axis(rows, cols + (seed.astype(jnp.int32) & 1), axis=1)
         return seed + checksum(p)
 
     # 4. one-hot matmul rows + batched one-hot cols (MXU)
@@ -88,13 +88,13 @@ def main():
         oh_c = (cx[:, :, None] == jnp.arange(W)[None, None, :]).astype(jnp.bfloat16)
         p = jnp.einsum("krw,kpw->krp", rows.reshape(K, P, W).astype(jnp.bfloat16),
                        oh_c, preferred_element_type=jnp.float32)
-        return seed + p.sum() * 1e-9 + seed * 0
+        return seed + p.sum() * 1e-9 + (seed - seed + (seed.astype(jnp.int32) & 1).astype(seed.dtype) * 0.001)
 
     # 5. dynamic_slice of row band then take_along_axis
     def m5(seed, img, y0, x0):
         def one(yy):
             return jax.lax.dynamic_slice(img, (yy, 0), (P, W))
-        bands = jax.vmap(one)(y0 + seed.astype(jnp.int32) * 0)  # (K, P, W)
+        bands = jax.vmap(one)(y0 + (seed.astype(jnp.int32) & 1))  # (K, P, W)
         dv = jnp.arange(P, dtype=jnp.int32)
         cols = jnp.broadcast_to(
             (x0[:, None, None] + dv[None, None, :]), (K, P, P)
