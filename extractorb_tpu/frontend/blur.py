@@ -3,15 +3,15 @@
 Replaces the per-level GaussianBlur(workingMat, Size(7,7), 2, 2,
 BORDER_REFLECT_101) in the reference (ORBextractor.cc:1127).
 
-Implementation: separable float32 convolution with the
-cv2.getGaussianKernel(7, 2) weights, rounded half-to-even to uint8.
-This is within +-1 intensity of this cv2 build's GaussianBlur (cv2 5.0
-uses an internal fixed-point path whose exact rounding is deliberately
-not chased); FAST keypoints are computed pre-blur so keypoint parity is
-unaffected and descriptors stay bitwise-close (a few bits of 256).
-
-The 7-tap separable conv is 14 shifted multiply-adds on the VPU; XLA
-fuses it into two passes over VMEM-resident tiles.
+Implementation: OpenCV's *bit-exact* fixed-point path for CV_8U
+(smooth.dispatch.cpp GaussianBlurFixedPoint with ufixedpoint16
+coefficients, 8 fractional bits).  The 7-tap sigma=2 kernel quantises to
+[18, 34, 48, 56, 48, 34, 18] / 256; the row pass accumulates exact
+integer sums (<= 255*256 < 2^16) and the column pass accumulates
+row_sum * coeff (<= 2^24), so BOTH passes are exact in float32 and land
+on the VPU as 14 shifted multiply-adds.  Final rounding is OpenCV's
+fixedround: (acc + 2^15) >> 16.  Verified bitwise against
+cv2.GaussianBlur (cv2 5.0) on random and real images.
 """
 
 from __future__ import annotations
@@ -23,26 +23,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _gaussian_kernel7_sigma2() -> np.ndarray:
-    """cv2.getGaussianKernel(7, 2): exp(-x^2/(2*2^2)) normalised."""
-    x = np.arange(7, dtype=np.float64) - 3.0
-    k = np.exp(-(x * x) / 8.0)
-    k /= k.sum()
-    return k
+def _fixed_kernel7_sigma2() -> np.ndarray:
+    """cv2.getGaussianKernel(7, 2) quantised like ufixedpoint16(softdouble):
+    round(k * 256), with OpenCV's sum-to-256 correction applied to the
+    centre taps (the float kernel rounds to sum 257; OpenCV's bit-exact
+    kernel is [18, 34, 48, 56, 48, 34, 18])."""
+    return np.array([18, 34, 48, 56, 48, 34, 18], np.float32)
 
 
-_K = _gaussian_kernel7_sigma2().astype(np.float32)
+_K = _fixed_kernel7_sigma2()
 
 
 @jax.jit
 def gaussian_blur7(img: jnp.ndarray) -> jnp.ndarray:
-    """Blur a uint8 image; rolls wrap at edges so only pixels >= 3 from
-    the edge are valid (callers pass bordered images)."""
+    """Bit-exact cv2.GaussianBlur(img, (7,7), 2) for uint8; rolls wrap at
+    edges so only pixels >= 3 from the edge are valid (callers pass
+    bordered images whose reflect-101 ring supplies the border reads)."""
     x = img.astype(jnp.float32)
     k = [float(v) for v in _K]
     rows = sum(k[i] * jnp.roll(x, 3 - i, axis=1) for i in range(7))
-    out = sum(k[j] * jnp.roll(rows, 3 - j, axis=0) for j in range(7))
-    return jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
+    acc = sum(k[j] * jnp.roll(rows, 3 - j, axis=0) for j in range(7))
+    # fixedround(acc) >> 16, exactly (acc + 2^15 <= 2^24: f32-exact)
+    out = jnp.floor((acc + jnp.float32(32768.0)) * jnp.float32(2.0 ** -16))
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -57,6 +60,10 @@ def blur_level(bordered: jnp.ndarray, border: int = 19) -> jnp.ndarray:
     instead expose the reflect-101 border pixels, which is well-defined
     and agrees for all keypoints >= 16 px from the image edge whose
     rotated pattern stays inside the view.
+
+    The bordered ring was built with BORDER_REFLECT_101 (compute_pyramid),
+    so blurring the bordered plane and keeping the inner region is
+    pixel-identical to cv2.GaussianBlur(inner, ..., BORDER_REFLECT_101).
     """
     blurred = gaussian_blur7(bordered)
     h, w = bordered.shape
