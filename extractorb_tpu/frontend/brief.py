@@ -54,8 +54,8 @@ def compute_descriptors(blurred_bordered, xy, angles_deg, valid, border: int = 1
 
     # Rotated pattern points stay within radius 18.4 (max over OpenCV's
     # bit_pattern_31_), so a 37x37 patch per keypoint covers every sample.
-    # A vmapped contiguous dynamic_slice + per-patch flat gather is ~50x
-    # cheaper on TPU than pointwise fancy indexing into the image.
+    # A vmapped contiguous dynamic_slice is far cheaper on TPU than
+    # pointwise fancy indexing into the image.
     PR = 18  # patch radius
     PS = 2 * PR + 1
     y0 = jnp.where(valid, xy[:, 1], 0) + border - PR
@@ -64,11 +64,23 @@ def compute_descriptors(blurred_bordered, xy, angles_deg, valid, border: int = 1
     def one(yy, xx):
         return jax.lax.dynamic_slice(blurred_bordered, (yy, xx), (PS, PS))
 
-    patches = jax.vmap(one)(y0, x0).reshape(-1, PS * PS)  # (K, 1369)
+    patches = jax.vmap(one)(y0, x0).astype(jnp.bfloat16)  # (K, 37, 37)
     dyc = jnp.clip(dy, -PR, PR)
     dxc = jnp.clip(dx, -PR, PR)
-    flat_idx = (dyc + PR) * PS + (dxc + PR)  # (K, 512)
-    samples = jnp.take_along_axis(patches, flat_idx, axis=1).astype(jnp.int32)
+    # The per-sample patch lookup is expressed as SEPARABLE one-hot
+    # contractions so it runs on the MXU instead of as K*512 irregular
+    # gathers (which dominate extraction time on TPU): row-select then
+    # column-select.  Each contraction has exactly one nonzero term per
+    # output, so bf16 is exact (uint8 values <= 255 < 2^8 mantissa).
+    rows = jnp.arange(PS, dtype=jnp.int32)
+    A = ((dyc + PR)[:, :, None] == rows[None, None, :]).astype(jnp.bfloat16)
+    B = ((dxc + PR)[:, :, None] == rows[None, None, :]).astype(jnp.bfloat16)
+    rowsel = jnp.einsum(
+        "ksr,krc->ksc", A, patches, preferred_element_type=jnp.bfloat16
+    )
+    samples = jnp.einsum(
+        "ksc,ksc->ks", rowsel, B, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
 
     t0 = samples[:, 0::2]
     t1 = samples[:, 1::2]
