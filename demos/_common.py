@@ -39,7 +39,23 @@ def default_parser(desc: str, image: str = LUNA) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=desc)
     p.add_argument("--image", default=image)
     p.add_argument("--out", default=None, help="write the overlay PNG here")
+    p.add_argument(
+        "--features", type=int, default=None,
+        help="override the keypoint budget (small values compile much "
+             "faster; used by the smoke tests)",
+    )
     return p
+
+
+def orb_config(args, default_features: int):
+    """ORBConfig honoring the --features fast-mode override."""
+    from extractorb_tpu.config import ORBConfig
+
+    n = args.features if getattr(args, "features", None) else default_features
+    # shrink the padded per-level capacity with the budget: compile time
+    # on small smoke runs is dominated by the padded shapes
+    cap = 4096 if n >= 1000 else 1024
+    return ORBConfig(n_features=n, max_kps_per_level=cap)
 
 
 class timer:

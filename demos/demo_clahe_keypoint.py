@@ -17,11 +17,11 @@ def main():
 
     import jax.numpy as jnp
 
-    from extractorb_tpu.config import ORBConfig
+    from _common import orb_config
     from extractorb_tpu.frontend.extractor import ORBExtractor
     from extractorb_tpu.utils.clahe import clahe
 
-    cfg = ORBConfig(n_features=1500)
+    cfg = orb_config(args, 1500)
     ext = ORBExtractor(cfg, octree="device")
 
     enhanced = np.asarray(clahe(jnp.asarray(img)))

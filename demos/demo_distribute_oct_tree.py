@@ -17,14 +17,14 @@ def main():
 
     import jax.numpy as jnp
 
-    from extractorb_tpu.config import ORBConfig
+    from _common import orb_config
     from extractorb_tpu.frontend import fast as ffast
     from extractorb_tpu.frontend import octree as foct
     from extractorb_tpu.frontend import pyramid as fpyr
     from extractorb_tpu.frontend.pyramid import EDGE_THRESHOLD
 
-    cfg = ORBConfig(n_features=1000)  # the oct_tree demo's budget
-    budgets = cfg.features_per_level()
+    cfg = orb_config(args, 1000)  # the oct_tree demo's budget
+    budgets = cfg.features_per_level
 
     levels = fpyr.compute_pyramid(
         jnp.asarray(img), cfg.n_levels, cfg.scale_factor

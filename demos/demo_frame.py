@@ -22,12 +22,12 @@ def main():
 
     import jax.numpy as jnp
 
-    from extractorb_tpu.config import ORBConfig
+    from _common import orb_config
     from extractorb_tpu.core.camera import KannalaBrandt8
     from extractorb_tpu.frontend import grid as fg
     from extractorb_tpu.frontend.extractor import ORBExtractor
 
-    cfg = ORBConfig(n_features=1500)
+    cfg = orb_config(args, 1500)
     ext = ORBExtractor(cfg, octree="device")
     with timer("extract"):
         feats = ext(jnp.asarray(img))

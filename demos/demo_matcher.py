@@ -23,6 +23,8 @@ def main():
     p.add_argument(
         "--img2", default=os.path.join(TUM_DIR, "1520616233657157795.png")
     )
+    p.add_argument("--features", type=int, default=None,
+                   help="keypoint budget override (fast smoke mode)")
     args = p.parse_args()
     im1 = imread_gray(args.img1)
     im2 = imread_gray(args.img2)
@@ -30,12 +32,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from extractorb_tpu.config import ORBConfig
+    from _common import orb_config
     from extractorb_tpu.frontend import matcher as fm
     from extractorb_tpu.frontend.extractor import ORBExtractor
     from extractorb_tpu.geometry import two_view
 
-    cfg = ORBConfig(n_features=1500)
+    cfg = orb_config(args, 1500)
     ext = ORBExtractor(cfg, octree="device")
     f1 = ext(jnp.asarray(im1))
     f2 = ext(jnp.asarray(im2))

@@ -18,7 +18,7 @@ def main():
 
     import jax.numpy as jnp
 
-    from extractorb_tpu.config import ORBConfig
+    from _common import orb_config
     from extractorb_tpu.frontend.extractor import ORBExtractor
     from extractorb_tpu.utils.clahe import clahe
 
@@ -28,7 +28,7 @@ def main():
     with timer("CLAHE (device)"):
         enhanced = np.asarray(clahe(jimg))
 
-    cfg = ORBConfig(n_features=1500)
+    cfg = orb_config(args, 1500)
     ext = ORBExtractor(cfg, octree="device")
     feats = ext(jimg)  # compile
     with timer("ORB extract (device)"):

@@ -18,10 +18,10 @@ def main():
 
     import jax.numpy as jnp
 
-    from extractorb_tpu.config import ORBConfig
+    from _common import orb_config
     from extractorb_tpu.frontend.extractor import ORBExtractor
 
-    cfg = ORBConfig(n_features=1000)
+    cfg = orb_config(args, 1000)
     ext = ORBExtractor(cfg, octree="host")  # reference-exact distribution
     with timer("extract (host octree)"):
         feats = ext(jnp.asarray(img))

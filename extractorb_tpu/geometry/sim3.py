@@ -62,6 +62,115 @@ def horn_sim3(p1, p2, fix_scale: bool = False):
     return R, t, s
 
 
+class Sim3OptResult(NamedTuple):
+    R12: jnp.ndarray      # (3,3)
+    t12: jnp.ndarray      # (3,)
+    s12: jnp.ndarray      # ()
+    inliers: jnp.ndarray  # (N,) bool
+    n_in: jnp.ndarray     # () int32
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10))
+def optimize_sim3(
+    R12, t12, s12,        # initial Sim3: x1 = s R x2 + t
+    p1, p2,               # (N,3) points in cam1 / cam2 frames
+    obs1, obs2,           # (N,2) pixel measurements in image1 / image2
+    valid,                # (N,)
+    project,              # cam point -> pixel (shared camera model)
+    fix_scale: bool = False,
+    th2: float = 10.0,
+):
+    """LM refinement of a relative Sim3 with bidirectional projection
+    edges (reference Optimizer::OptimizeSim3, src/Optimizer.cc:3888):
+
+        e12_i = obs1_i - project(S12 * p2_i)        (cam1 image)
+        e21_i = obs2_i - project(S12^-1 * p1_i)     (cam2 image)
+
+    Huber delta = sqrt(th2); 5 iterations, chi2-based outlier drop, then
+    10 more on inliers (the reference's two-stage schedule).  Scale is
+    frozen when fix_scale (stereo/RGBD; VertexSim3Expmap::_fix_scale).
+    Returns the refined Sim3 + final inlier set and count.
+    """
+    R0 = R12.astype(jnp.float32)
+    t0 = t12.astype(jnp.float32)
+    ls0 = jnp.log(jnp.maximum(s12.astype(jnp.float32), 1e-12))
+    delta = jnp.sqrt(jnp.float32(th2))
+
+    def chi2_of(R, t, ls):
+        s = jnp.exp(ls)
+        p2_in_1 = s * (p2 @ R.T) + t
+        r12 = obs1 - jax.vmap(project)(p2_in_1)
+        Ri, ti, si = lie.sim3_inverse(R, t, s)
+        p1_in_2 = si * (p1 @ Ri.T) + ti
+        r21 = obs2 - jax.vmap(project)(p1_in_2)
+        return jnp.sum(r12 * r12, -1), jnp.sum(r21 * r21, -1), r12, r21
+
+    def gn_step(carry, active):
+        R, t, ls = carry
+
+        def r_of(x):
+            phi, tau, dls = x[:3], x[3:6], x[6]
+            Rn = lie.so3_exp(phi) @ R
+            tn = t + tau
+            sn = jnp.exp(ls + jnp.where(fix_scale, 0.0, dls))
+            p2_in_1 = sn * (p2 @ Rn.T) + tn
+            r12 = obs1 - jax.vmap(project)(p2_in_1)
+            Ri, ti, si = lie.sim3_inverse(Rn, tn, sn)
+            p1_in_2 = si * (p1 @ Ri.T) + ti
+            r21 = obs2 - jax.vmap(project)(p1_in_2)
+            return jnp.concatenate([r12.reshape(-1), r21.reshape(-1)])
+
+        x0 = jnp.zeros(7, jnp.float32)
+        r = r_of(x0)
+        J = jax.jacfwd(r_of)(x0)  # (4N, 7)
+        # Huber IRLS weights per EDGE (2 components share one weight)
+        c12, c21, _, _ = chi2_of(R, t, ls)
+        e12 = jnp.sqrt(jnp.maximum(c12, 1e-12))
+        e21 = jnp.sqrt(jnp.maximum(c21, 1e-12))
+        w12 = jnp.where(e12 <= delta, 1.0, delta / e12) * active
+        w21 = jnp.where(e21 <= delta, 1.0, delta / e21) * active
+        w = jnp.concatenate(
+            [jnp.repeat(w12, 2), jnp.repeat(w21, 2)]
+        )
+        H = J.T @ (J * w[:, None])
+        b = J.T @ (r * w)
+        H = H + jnp.eye(7, dtype=jnp.float32) * 1e-6
+        if fix_scale:
+            # freeze the scale coordinate
+            H = H.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)
+            b = b.at[6].set(0.0)
+        dx = -jnp.linalg.solve(H, b)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        Rn = lie.so3_exp(dx[:3]) @ R
+        tn = t + dx[3:6]
+        lsn = ls + jnp.where(fix_scale, 0.0, dx[6])
+        return (Rn, tn, lsn), None
+
+    active0 = valid.astype(jnp.float32)
+    carry = (R0, t0, ls0)
+    carry, _ = jax.lax.scan(
+        lambda c, _: gn_step(c, active0), carry, None, length=5
+    )
+    c12, c21, _, _ = chi2_of(*carry)
+    inl = valid & (c12 <= th2) & (c21 <= th2)
+    # reference: bail out (return 0 inliers) if fewer than 10 survive
+    enough = jnp.sum(inl.astype(jnp.int32)) >= 10
+    active1 = (inl & enough).astype(jnp.float32)
+    carry2, _ = jax.lax.scan(
+        lambda c, _: gn_step(c, active1), carry, None, length=10
+    )
+    R_f, t_f, ls_f = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(enough, a, b), carry2, carry
+    )
+    c12, c21, _, _ = chi2_of(R_f, t_f, ls_f)
+    inl_f = valid & (c12 <= th2) & (c21 <= th2) & enough
+    return Sim3OptResult(
+        R12=R_f, t12=t_f, s12=jnp.exp(ls_f),
+        inliers=inl_f,
+        n_in=jnp.sum(inl_f.astype(jnp.int32)),
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(6, 7, 8))
 def solve_sim3_ransac(
     key,

@@ -59,27 +59,31 @@ def _normalize(pts, valid):
     return norm, T
 
 
-def _compute_h(x1, x2):
-    """DLT homography from 8 correspondences: (8,2),(8,2) -> (3,3)."""
+def _compute_h(x1, x2, w=None):
+    """DLT homography: (N,2),(N,2)[, (N,) weights] -> (3,3)."""
     u1, v1 = x1[:, 0], x1[:, 1]
     u2, v2 = x2[:, 0], x2[:, 1]
     z = jnp.zeros_like(u1)
     o = jnp.ones_like(u1)
     r1 = jnp.stack([z, z, z, -u1, -v1, -o, v2 * u1, v2 * v1, v2], -1)
     r2 = jnp.stack([u1, v1, o, z, z, z, -u2 * u1, -u2 * v1, -u2], -1)
-    A = jnp.concatenate([r1, r2], 0)  # (16,9)
+    A = jnp.concatenate([r1, r2], 0)  # (2N,9)
+    if w is not None:
+        A = A * jnp.concatenate([w, w])[:, None]
     _, _, vt = jnp.linalg.svd(A, full_matrices=True)
     return vt[-1].reshape(3, 3)
 
 
-def _compute_f(x1, x2):
-    """8-point fundamental with rank-2 projection."""
+def _compute_f(x1, x2, w=None):
+    """8-point fundamental with rank-2 projection (optionally weighted)."""
     u1, v1 = x1[:, 0], x1[:, 1]
     u2, v2 = x2[:, 0], x2[:, 1]
     o = jnp.ones_like(u1)
     A = jnp.stack(
         [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, o], -1
-    )  # (8,9)
+    )  # (N,9)
+    if w is not None:
+        A = A * w[:, None]
     _, _, vt = jnp.linalg.svd(A, full_matrices=True)
     Fpre = vt[-1].reshape(3, 3)
     u, s, vt2 = jnp.linalg.svd(Fpre)
@@ -171,9 +175,13 @@ def _check_rt(R, t, x1, x2, valid, K, sigma2=1.0):
     z1 = X[:, 2]
     X2 = X @ R.T + t[None, :]
     z2 = X2[:, 2]
-    # the reference additionally admits z<=0 points when parallax ~ 0
-    # (cosParallax >= 0.99998) but never triangulates them; we simply
-    # require positive depth in both views.
+    # Deliberate deviation from TwoViewReconstruction.cc:862-871 (which
+    # admits z<=0 points when cosParallax >= 0.99998): we require positive
+    # depth unconditionally.  The reference's bypass lets exactly-H-
+    # consistent near-infinite points inflate nGood for the degenerate
+    # Faugeras mirror motions, weakening the n_similar disambiguation;
+    # strict cheirality is a strictly better discriminator.
+    low_par = cos_par >= 0.99998
     depth_ok = (z1 > 0) & (z2 > 0)
 
     u1 = fx * X[:, 0] / X[:, 2] + cx
@@ -183,12 +191,14 @@ def _check_rt(R, t, x1, x2, valid, K, sigma2=1.0):
     v2 = fy * X2[:, 1] / X2[:, 2] + cy
     e2 = (u2 - x2[:, 0]) ** 2 + (v2 - x2[:, 1]) ** 2
     th2 = 4.0 * sigma2
-    good = valid & finite & depth_ok & (e1 <= th2) & (e2 <= th2)
+    counted = valid & finite & depth_ok & (e1 <= th2) & (e2 <= th2)
+    good = counted & ~low_par  # vbGood: triangulated map-point mask
 
-    # parallax of the 50th-best (reference takes min(50, n)-th largest cos)
-    cos_masked = jnp.where(good, cos_par, 1.0)
-    n_good = jnp.sum(good.astype(jnp.int32))
-    k = jnp.minimum(50, jnp.maximum(n_good, 1)) - 1
+    # parallax: ascending-cos sort over counted points, element
+    # min(50, n-1) like the reference (the 51st-best parallax)
+    cos_masked = jnp.where(counted, cos_par, 1.0)
+    n_good = jnp.sum(counted.astype(jnp.int32))
+    k = jnp.minimum(50, jnp.maximum(n_good - 1, 0))
     cos_sorted = jnp.sort(cos_masked)  # ascending
     cos_sel = cos_sorted[k]
     parallax = jnp.degrees(jnp.arccos(jnp.clip(cos_sel, -1.0, 1.0)))
@@ -319,6 +329,25 @@ def reconstruct(
 
     _, inl_h = _score_h(H21, x1, x2, valid, sigma)
     _, inl_f = _score_f(F21, x1, x2, valid, sigma)
+
+    # Gold-standard refit on all inliers (improvement over the reference,
+    # which keeps the minimal-set model, TwoViewReconstruction.cc:127-227:
+    # an 8-point F on noisy points leaves ~5-10% of true inliers outside
+    # the CheckRT reprojection gate, making the 0.9*N accept threshold
+    # flaky).  One masked SVD per model; strictly tighter fits.
+    Hn2 = _compute_h(xn1, xn2, inl_h.astype(xn1.dtype))
+    H_refit = T2inv @ Hn2 @ T1
+    sh2, inl_h2 = _score_h(H_refit, x1, x2, valid, sigma)
+    better_h = sh2 > SH
+    H21 = jnp.where(better_h, H_refit, H21)
+    inl_h = jnp.where(better_h, inl_h2, inl_h)
+
+    Fn2 = _compute_f(xn1, xn2, inl_f.astype(xn1.dtype))
+    F_refit = T2.T @ Fn2 @ T1
+    sf2, inl_f2 = _score_f(F_refit, x1, x2, valid, sigma)
+    better_f = sf2 > SF
+    F21 = jnp.where(better_f, F_refit, F21)
+    inl_f = jnp.where(better_f, inl_f2, inl_f)
 
     # --- motion hypotheses
     E21 = K.T @ F21 @ K

@@ -66,8 +66,9 @@ class KeyFrame:
 class SLAMMap:
     """One map of the Atlas (reference Map, inc/Map.h:75)."""
 
-    def __init__(self, capacity: int = 20000):
+    def __init__(self, capacity: int = 20000, scale_factor: float = 1.2):
         self.mid = 0  # stable Atlas-wide map id (set by Atlas)
+        self.scale_factor = float(scale_factor)  # pyramid scale for PredictScale
         self.keyframes: Dict[int, KeyFrame] = {}
         self._next_kf = 0
         self._next_mp = 0
@@ -201,7 +202,7 @@ class SLAMMap:
         kf = self.keyframes[kf_id]
         d = np.linalg.norm(pos - kf.center())
         level = int(kf.octave[kp])
-        self.mp_max_dist[mp] = d * (1.2 ** level)
+        self.mp_max_dist[mp] = d * (self.scale_factor ** level)
 
     def apply_scaled_rotation(self, Ryw: np.ndarray, s: float,
                               scale_vel: bool = True):

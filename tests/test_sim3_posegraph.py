@@ -218,3 +218,95 @@ def test_pose_graph_4dof_closes_loop(rng):
         gz_est = R[k] @ np.array([0, 0, 1.0], np.float32)
         gz0 = np.stack(Rs_est)[k] @ np.array([0, 0, 1.0], np.float32)
         np.testing.assert_allclose(gz_est, gz0, atol=1e-4)
+
+
+def test_optimize_sim3_refines_and_classifies(rng):
+    """optimize_sim3 (reference Optimizer.cc:3888): from a perturbed
+    initial Sim3 it must recover the true transform and reject the
+    planted outlier correspondences."""
+    import jax.numpy as jnp
+    from extractorb_tpu.core import lie as _lie
+    from extractorb_tpu.geometry import sim3 as gs
+
+    n = 120
+    p2 = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), rng.uniform(3, 8, n)],
+        -1,
+    ).astype(np.float32)
+    w = np.array([0.03, -0.05, 0.02], np.float32)
+    R = np.asarray(_lie.so3_exp(jnp.asarray(w)), np.float32)
+    t = np.array([0.4, -0.1, 0.2], np.float32)
+    s = 1.3
+    p1 = (s * (p2 @ R.T) + t).astype(np.float32)
+
+    fx = fy = 450.0
+    cx, cy = 320.0, 240.0
+
+    def project(pc):
+        return jnp.stack(
+            [fx * pc[0] / pc[2] + cx, fy * pc[1] / pc[2] + cy], -1
+        ).reshape(2)
+
+    def proj_np(P):
+        return np.stack(
+            [fx * P[:, 0] / P[:, 2] + cx, fy * P[:, 1] / P[:, 2] + cy], -1
+        )
+
+    obs1 = proj_np(p1) + rng.normal(size=(n, 2)) * 0.4
+    obs2 = proj_np(p2) + rng.normal(size=(n, 2)) * 0.4
+    # plant outliers
+    out = rng.choice(n, 15, replace=False)
+    obs1[out] += rng.uniform(20, 60, size=(15, 2))
+
+    # perturbed initial guess
+    dR = np.asarray(_lie.so3_exp(jnp.asarray([0.02, 0.01, -0.015])), np.float32)
+    res = gs.optimize_sim3(
+        jnp.asarray(dR @ R), jnp.asarray(t + 0.1), jnp.float32(s * 1.08),
+        jnp.asarray(p1), jnp.asarray(p2),
+        jnp.asarray(obs1.astype(np.float32)),
+        jnp.asarray(obs2.astype(np.float32)),
+        jnp.ones(n, bool), project,
+    )
+    assert int(res.n_in) >= n - 20, int(res.n_in)
+    inl = np.asarray(res.inliers)
+    assert not inl[out].any()
+    R_err = np.asarray(_lie.so3_log(jnp.asarray(np.asarray(res.R12) @ R.T)))
+    assert np.linalg.norm(R_err) < 2e-3, R_err
+    assert abs(float(res.s12) - s) < 0.01
+    np.testing.assert_allclose(np.asarray(res.t12), t, atol=0.02)
+
+
+def test_optimize_sim3_fixed_scale(rng):
+    import jax.numpy as jnp
+    from extractorb_tpu.core import lie as _lie
+    from extractorb_tpu.geometry import sim3 as gs
+
+    n = 80
+    p2 = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), rng.uniform(3, 8, n)],
+        -1,
+    ).astype(np.float32)
+    R = np.asarray(_lie.so3_exp(jnp.asarray([0.0, 0.04, 0.0])), np.float32)
+    t = np.array([0.3, 0.0, 0.1], np.float32)
+    p1 = (p2 @ R.T + t).astype(np.float32)
+
+    def project(pc):
+        return jnp.stack(
+            [450.0 * pc[0] / pc[2] + 320.0, 450.0 * pc[1] / pc[2] + 240.0], -1
+        ).reshape(2)
+
+    def proj_np(P):
+        return np.stack(
+            [450.0 * P[:, 0] / P[:, 2] + 320.0, 450.0 * P[:, 1] / P[:, 2] + 240.0],
+            -1,
+        )
+
+    res = gs.optimize_sim3(
+        jnp.asarray(R), jnp.asarray(t + 0.05), jnp.float32(1.0),
+        jnp.asarray(p1), jnp.asarray(p2),
+        jnp.asarray(proj_np(p1).astype(np.float32)),
+        jnp.asarray(proj_np(p2).astype(np.float32)),
+        jnp.ones(n, bool), project, True,
+    )
+    assert float(res.s12) == 1.0  # scale frozen (stereo mode)
+    assert int(res.n_in) >= n - 2
