@@ -334,3 +334,141 @@ def full_inertial_ba(mp, calib: ImuCalib, project,
         kf.ba = ba_n[k]
     mp.mp_pos[pt_ids] = np.asarray(res.points)[: len(pt_ids)]
     mp.version += 1
+
+
+def local_inertial_ba(mp, calib: ImuCalib, project, kf_id: int,
+                      n_window: int = 10, max_fixed: int = 20,
+                      n_iters: int = 6, cg_iters: int = 40):
+    """LocalInertialBA analog (reference src/Optimizer.cc:4413): sliding
+    temporal window of Nd keyframes over the mPrevKF chain ending at the
+    new keyframe, with visual + preintegration + bias-random-walk edges.
+    The window's temporal predecessor is included FIXED (its pose,
+    velocity and biases anchor the window); other keyframes observing
+    the window's points are appended as fixed visual-only anchors
+    (reference lFixedKeyFrames).
+
+    Reference uses Nd=10, or 25 when tracking is strong (bLarge) — pass
+    n_window accordingly.
+    """
+    # temporal window via the prev_kf chain (reference :4413+6-13)
+    window: List[int] = []
+    k = kf_id
+    while k in mp.keyframes and len(window) < n_window:
+        window.append(k)
+        k = mp.keyframes[k].prev_kf
+    window.reverse()  # temporal ascending
+    if len(window) < 3:
+        return False
+    boundary = mp.keyframes[window[0]].prev_kf
+    kids = ([boundary] if boundary in mp.keyframes else []) + window
+    n_anchor = 1 if boundary in mp.keyframes else 0
+
+    # fixed visual anchors: other observers of the window's points
+    win_set = set(kids)
+    pt_ids = mp.points_seen_by(window)
+    obs_count: dict = {}
+    for p in pt_ids:
+        for kid in mp.obs.get(int(p), {}):
+            if kid not in win_set and kid in mp.keyframes:
+                obs_count[kid] = obs_count.get(kid, 0) + 1
+    anchors = sorted(obs_count, key=lambda kk: -obs_count[kk])[:max_fixed]
+    kids = kids + anchors
+
+    K = len(kids)
+    Rwb = np.zeros((K, 3, 3), np.float32)
+    twb = np.zeros((K, 3), np.float32)
+    v = np.zeros((K, 3), np.float32)
+    bg = np.zeros((K, 3), np.float32)
+    ba = np.zeros((K, 3), np.float32)
+    preints, valids = [], []
+    for i, kid in enumerate(kids):
+        kf = mp.keyframes[kid]
+        Rwb[i], twb[i] = calib.body_from_cam(kf.R, kf.t)
+        if kf.v is not None:
+            v[i] = kf.v
+        if kf.bg is not None:
+            bg[i] = kf.bg
+            ba[i] = kf.ba
+        in_chain = (
+            0 < i < n_anchor + len(window)
+            and kf.preint is not None and kf.prev_kf == kids[i - 1]
+        )
+        if in_chain:
+            preints.append(kf.preint)
+            valids.append(True)
+        else:
+            preints.append(pre.init_preintegrated())
+            valids.append(False)
+
+    if len(pt_ids) < 8:
+        return False
+    remap = {int(p): i for i, p in enumerate(pt_ids)}
+    kf_of = {kid: i for i, kid in enumerate(kids)}
+    obs_kf, obs_mp, obs_uv, obs_sig = [], [], [], []
+    for p in pt_ids:
+        for kid, kp in mp.obs.get(int(p), {}).items():
+            i = kf_of.get(kid)
+            if i is None:
+                continue
+            kf = mp.keyframes[kid]
+            obs_kf.append(i)
+            obs_mp.append(remap[int(p)])
+            obs_uv.append(kf.xy_un[kp])
+            obs_sig.append(1.0 / (1.2 ** (2 * int(kf.octave[kp]))))
+    if len(obs_kf) < 16:
+        return False
+    O = _bucket(len(obs_kf))
+    pad = O - len(obs_kf)
+    obs_kf = np.asarray(obs_kf + [0] * pad, np.int32)
+    obs_mp = np.asarray(obs_mp + [0] * pad, np.int32)
+    obs_uv = np.concatenate(
+        [np.asarray(obs_uv, np.float32).reshape(-1, 2),
+         np.zeros((pad, 2), np.float32)], 0
+    )
+    obs_sig = np.asarray(obs_sig + [1.0] * pad, np.float32)
+    obs_val = np.concatenate([np.ones(O - pad, bool), np.zeros(pad, bool)])
+
+    P = _bucket(len(pt_ids))
+    pts = np.zeros((P, 3), np.float32)
+    pts[: len(pt_ids)] = mp.mp_pos[pt_ids]
+    pts[len(pt_ids):, 2] = 1.0
+    fixed_mp = np.ones(P, bool)
+    fixed_mp[: len(pt_ids)] = False
+    fixed_kf = np.zeros(K, bool)
+    if n_anchor:
+        fixed_kf[0] = True
+    fixed_kf[n_anchor + len(window):] = True  # visual anchors
+    if not fixed_kf.any():
+        fixed_kf[0] = True  # gauge
+
+    chain = sin.stack_chain(preints, valids)
+    prob = sin.VIBAProblem(
+        Rwb=jnp.asarray(Rwb), twb=jnp.asarray(twb),
+        v=jnp.asarray(v), bg=jnp.asarray(bg), ba=jnp.asarray(ba),
+        points=jnp.asarray(pts),
+        obs_kf=jnp.asarray(obs_kf), obs_mp=jnp.asarray(obs_mp),
+        obs_uv=jnp.asarray(obs_uv), inv_sigma2=jnp.asarray(obs_sig),
+        obs_valid=jnp.asarray(obs_val),
+        chain=chain,
+        fixed_kf=jnp.asarray(fixed_kf), fixed_mp=jnp.asarray(fixed_mp),
+        Rcb=jnp.asarray(calib.Rcb), tcb=jnp.asarray(calib.tcb),
+        prior_g=0.0, prior_a=0.0,
+    )
+    res = sin.optimize_vi_ba(prob, project, n_iters=n_iters,
+                             cg_iters=cg_iters)
+    Rwb_n = np.asarray(res.Rwb)
+    twb_n = np.asarray(res.twb)
+    v_n = np.asarray(res.v)
+    bg_n = np.asarray(res.bg)
+    ba_n = np.asarray(res.ba)
+    for i, kid in enumerate(kids):
+        if fixed_kf[i]:
+            continue
+        kf = mp.keyframes[kid]
+        kf.R, kf.t = calib.cam_from_body(Rwb_n[i], twb_n[i])
+        kf.v = v_n[i]
+        kf.bg = bg_n[i]
+        kf.ba = ba_n[i]
+    mp.mp_pos[pt_ids] = np.asarray(res.points)[: len(pt_ids)]
+    mp.version += 1
+    return True

@@ -145,11 +145,24 @@ class LocalMapper:
         """ProcessNewKeyFrame + culling + CreateNewMapPoints +
         SearchInNeighbors fuse + local BA + KeyFrameCulling
         (reference LocalMapping::Run body, :78-230)."""
+        self._assign_parent(mp, kf_id)
         self._cull_map_points(mp)
         self._create_new_points(mp, kf_id)
         self._fuse_neighbors(mp, kf_id)
         self._local_ba(mp, kf_id)
         self._cull_keyframes(mp, kf_id)
+
+    def _assign_parent(self, mp: SLAMMap, kf_id: int):
+        """Spanning-tree parent: the strongest earlier covisible at
+        insertion (reference KeyFrame::UpdateConnections first-connection
+        branch, src/KeyFrame.cc ChangeParent region)."""
+        kf = mp.keyframes.get(kf_id)
+        if kf is None or kf.parent >= 0:
+            return
+        for nk, _ in mp.covisible_keyframes(kf_id, 1):
+            if nk < kf_id:
+                kf.parent = nk
+                return
 
     def _cull_map_points(self, mp: SLAMMap):
         """MapPointCulling (reference :341): drop points with found/visible
@@ -435,6 +448,13 @@ class LocalMapper:
                     succ.preint = imu_frontend.integrate_raw(
                         succ.imu_meas, bias, self.imu_calib
                     )
+        # spanning-tree surgery: reparent children to this KF's parent
+        # (simplified vs the reference's best-covisible-candidate search
+        # in KeyFrame::SetBadFlag — the parent is always a valid
+        # covisible ancestor, which preserves tree connectivity)
+        for other in mp.keyframes.values():
+            if other.parent == kf_id:
+                other.parent = kf.parent
         kf.is_bad = True
         del mp.keyframes[kf_id]
         mp.version += 1
@@ -442,7 +462,17 @@ class LocalMapper:
     def _local_ba(self, mp: SLAMMap, kf_id: int):
         """LocalBundleAdjustment window build (reference Optimizer.cc:1698):
         local = covisibles of the new KF; fixed = other KFs observing the
-        local points."""
+        local points.  Inertial maps with an initialised IMU run
+        LocalInertialBA over the temporal window instead (the reference's
+        mbInertial branch, src/LocalMapping.cc:149-154)."""
+        if self.imu_calib is not None and mp.imu_initialized:
+            from . import imu_frontend
+
+            if imu_frontend.local_inertial_ba(
+                mp, self.imu_calib, self.project, kf_id,
+                n_window=10,
+            ):
+                return
         local = [kf_id] + [k for k, _ in mp.covisible_keyframes(kf_id, 1)]
         local_set = set(local)
         pt_ids = mp.points_seen_by(local)

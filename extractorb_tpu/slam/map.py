@@ -50,6 +50,12 @@ class KeyFrame:
     v: Optional[np.ndarray] = None      # (3,) body velocity in world
     bg: Optional[np.ndarray] = None     # (3,) gyro bias
     ba: Optional[np.ndarray] = None     # (3,) acc bias
+    # Spanning tree + loop edges (reference KeyFrame mpParent /
+    # mspLoopEdges, inc/KeyFrame.h:304-330): parent = strongest earlier
+    # covisible at insertion; loop edges accumulate in CorrectLoop and
+    # feed OptimizeEssentialGraph's edge set.
+    parent: int = -1
+    loop_edges: List[int] = dataclasses.field(default_factory=list)
     preint: Optional[object] = None     # imu.Preintegrated from prev_kf
     prev_kf: int = -1                   # temporal predecessor keyframe id
     imu_meas: Optional[tuple] = None    # raw (gyro, acc, dt) window from

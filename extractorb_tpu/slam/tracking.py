@@ -148,7 +148,10 @@ class Tracker:
         from .loop_closing import LoopCloser
 
         self.loop_closer = LoopCloser(
-            vocab, self.project, inv_sigma2=self.inv_sigma2
+            vocab, self.project, scale_factors=self.scale_factors,
+            img_wh=(cfg.camera.width, cfg.camera.height),
+            inv_sigma2=self.inv_sigma2,
+            fix_scale=cfg.sensor in ("stereo", "rgbd"),
         )
         self._next_frame_id = 0
         self.init_frame: Optional[Frame] = None

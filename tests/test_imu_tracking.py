@@ -238,3 +238,52 @@ def test_chain_repair_on_keyframe_cull():
         jnp.zeros(6, jnp.float32),
     )
     assert np.abs(np.asarray(r)).max() < 5e-3
+
+
+def test_local_inertial_ba_fixes_window_drift():
+    """LocalInertialBA (reference Optimizer.cc:4413): pose + velocity
+    noise injected into the newest temporal-window keyframes must be
+    pulled back by the visual+preintegration window BA — including the
+    velocity states, which a visual-only local BA cannot observe at
+    all."""
+    calib = make_calib()
+    mp, _ = _build_scaled_map(calib, n_kf=12, s_true=1.0,
+                              rot_vw=(0.0, 0.0, 0.0))
+    mp.imu_initialized = True
+    kids = sorted(mp.keyframes.keys())
+    # ground-truth velocities, then perturb the last 5 keyframes
+    for i, k in enumerate(kids):
+        kf = mp.keyframes[k]
+        Rwb, pwb, vwb, _, _ = truth(i * 0.25)
+        kf.v = vwb.astype(np.float32)
+        kf.bg = np.zeros(3, np.float32)
+        kf.ba = np.zeros(3, np.float32)
+    rng = np.random.default_rng(3)
+    perturbed = kids[-5:]
+    for k in perturbed:
+        kf = mp.keyframes[k]
+        dR = np.asarray(lie.so3_exp(jnp.asarray(
+            rng.normal(size=3).astype(np.float32) * 0.01)))
+        kf.R = (kf.R @ dR).astype(np.float32)
+        kf.t = (kf.t + rng.normal(size=3) * 0.03).astype(np.float32)
+        kf.v = (kf.v + rng.normal(size=3) * 0.3).astype(np.float32)
+
+    def errors():
+        ep, ev = [], []
+        for i, k in enumerate(kids):
+            if k not in perturbed:
+                continue
+            Rwb, pwb, vwb, _, _ = truth(i * 0.25)
+            C = mp.keyframes[k].center()
+            ep.append(np.linalg.norm(C - pwb))
+            ev.append(np.linalg.norm(mp.keyframes[k].v - vwb))
+        return np.mean(ep), np.mean(ev)
+
+    ep0, ev0 = errors()
+    ok = imu_frontend.local_inertial_ba(
+        mp, calib, project, kids[-1], n_window=6,
+    )
+    assert ok
+    ep1, ev1 = errors()
+    assert ep1 < 0.5 * ep0, (ep0, ep1)
+    assert ev1 < 0.5 * ev0, (ev0, ev1)

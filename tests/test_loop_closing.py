@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from extractorb_tpu.core import lie
 from extractorb_tpu.frontend.extractor import Features
 from extractorb_tpu.place.vocab import Vocabulary
-from extractorb_tpu.slam.loop_closing import LoopCloser
+from extractorb_tpu.slam.loop_closing import LoopCloser, LoopThresholds
 from extractorb_tpu.slam.map import KeyFrame, SLAMMap
 
 FX, FY, CX, CY = 500.0, 500.0, 320.0, 240.0
@@ -105,13 +105,25 @@ def build_looped_map(rng, n_kf=12, n_pts=200, drift_per_kf=0.02):
                 pos_drift = (pc_true - t_est) @ R_est  # R_est^T (pc - t_est)
                 mid = mp.add_point(pos_drift, desc[p], np.zeros(3), 10.0, kf.kid)
                 mp.add_observation(mid, kf.kid, row)
+    # normals + scale-invariance ranges (the projection matchers apply
+    # the reference's viewing-angle and distance gates)
+    for p in range(mp._next_mp):
+        if mp.mp_valid[p]:
+            mp.update_point_stats(p)
     return mp, pts, desc
 
 
 def test_loop_close_constructed(rng):
     mp, pts, desc = build_looped_map(rng)
     vocab = Vocabulary.train(desc, k=8, L=3, seed=0)
-    lc = LoopCloser(vocab, project)
+    # the constructed map has ~200 points/KF (vs the reference's 1000+),
+    # so the projection-count gates scale down proportionally; the
+    # cascade structure (BoW -> RANSAC -> proj -> OptimizeSim3 -> reproj
+    # -> temporal consistency) is exercised unchanged
+    th = LoopThresholds(
+        n_proj_matches=50, n_proj_opt_matches=60, n_proj_rep=60,
+    )
+    lc = LoopCloser(vocab, project, thresholds=th)
 
     closed = False
     for kid in sorted(mp.keyframes.keys()):
@@ -131,3 +143,32 @@ def test_loop_close_constructed(rng):
     C_gt = np.array([x, 0, 0], np.float32)
     C_est = -last.R.T @ last.t
     assert np.linalg.norm(C_est - C_gt) < 0.15, (C_est, C_gt)
+
+
+def test_false_loop_rejected(rng):
+    """A revisit candidate with matching APPEARANCE (identical
+    descriptors) but geometrically scrambled structure must not close a
+    loop: the Sim3 RANSAC / OptimizeSim3 / re-projection cascade rejects
+    it (the round-1 closer accepted loops on appearance alone)."""
+    mp, pts, desc = build_looped_map(rng)
+    # scramble the SECOND-pass duplicate landmark positions: appearance
+    # stays identical, geometry becomes inconsistent with any Sim3
+    half_ids = [
+        p for p in range(mp._next_mp)
+        if mp.mp_valid[p] and len(mp.obs.get(p, {})) > 0
+        and min(mp.obs[p]) >= len(mp.keyframes) // 2
+    ]
+    perm = rng.permutation(len(half_ids))
+    scrambled = mp.mp_pos[half_ids][perm]
+    mp.mp_pos[half_ids] = scrambled
+    for p in half_ids:
+        mp.update_point_stats(p)
+
+    vocab = Vocabulary.train(desc, k=8, L=3, seed=0)
+    th = LoopThresholds(
+        n_proj_matches=50, n_proj_opt_matches=60, n_proj_rep=60,
+    )
+    lc = LoopCloser(vocab, project, thresholds=th)
+    for kid in sorted(mp.keyframes.keys()):
+        assert not lc.process_keyframe(mp, kid), f"false loop at kf {kid}"
+    assert lc.n_loops == 0
