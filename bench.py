@@ -137,6 +137,8 @@ def main():
     per_frame = max((tN - t_overhead) / N_LONG, 1e-9)
     fps = 1.0 / per_frame
 
+    extra = _full_slam_bench()
+
     print(
         json.dumps(
             {
@@ -144,9 +146,70 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                **extra,
             }
         )
     )
+
+
+def _full_slam_bench():
+    """End-to-end System.track_monocular wall-clock fps + Sim3-aligned
+    ATE against the synthetic sequence's exact ground truth (the
+    self-produced accuracy baseline BASELINE.md calls for)."""
+    try:
+        import cv2
+        import numpy as np
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from test_slam_e2e import render_sequence, umeyama_align, W, H
+
+        from extractorb_tpu.config import (
+            CameraConfig, ORBConfig, SLAMConfig, TrackingConfig,
+        )
+        from extractorb_tpu.slam.system import System
+        from extractorb_tpu.slam.tracking import TrackState
+
+        luna = cv2.imread("/root/reference/pic/luna.jpg", 0)
+        tex = cv2.resize(luna, (1024, 1024))
+        frames, poses = render_sequence(tex, n_frames=14)
+
+        def run():
+            cfg = SLAMConfig(
+                orb=ORBConfig(n_features=1000),
+                camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                                    width=W, height=H),
+                tracking=TrackingConfig(max_frames=6),
+            )
+            s = System(cfg)
+            t0 = time.perf_counter()
+            states = [s.track_monocular(im, k / 30.0)
+                      for k, im in enumerate(frames)]
+            dt = time.perf_counter() - t0
+            return s, states, dt
+
+        run()  # compile warmup (all jit programs built)
+        s, states, dt = run()
+        slam_fps = len(frames) / dt
+
+        traj = s.tracker.trajectory
+        est = np.array([-R.T @ t for _, R, t in traj])
+        gt = np.array([
+            -poses[int(round(ts * 30.0))][0].T @ poses[int(round(ts * 30.0))][1]
+            for ts, _, _ in traj
+        ])
+        ate = float("nan")
+        if len(est) >= 3:
+            aligned = umeyama_align(est, gt)
+            ate = float(np.sqrt(((aligned - gt) ** 2).sum(-1).mean()))
+        return {
+            "slam_fps": round(slam_fps, 2),
+            "ate_synth_m": round(ate, 4),
+            "slam_frames_ok": sum(1 for st in states if st == TrackState.OK),
+            "slam_frames": len(frames),
+        }
+    except Exception as e:  # pragma: no cover — keep the primary metric
+        return {"slam_bench_error": str(e)[:200]}
 
 
 if __name__ == "__main__":

@@ -111,7 +111,11 @@ class ORBExtractor:
                     xy_all, resp_all, valid_all, budget,
                     W - 2 * min_b, H - 2 * min_b, min_b, min_b,
                 )
-                xy, resp, valid = _compact(xy_all, resp_all, valid_all & sel, cap_l)
+                # cap cannot exceed the candidate buffer (small levels of
+                # small images with large budgets: k_lvl < budget+16)
+                xy, resp, valid = _compact(
+                    xy_all, resp_all, valid_all & sel, min(cap_l, k_lvl)
+                )
 
             angles = forient.ic_angle(bordered, xy, valid)
             blurred = fblur.blur_level(bordered)

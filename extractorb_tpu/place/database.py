@@ -80,11 +80,21 @@ class KeyFrameDatabase:
         exclude: Optional[set] = None,
         n_best: int = 3,
         min_common_ratio: float = 0.8,
+        covis_fn=None,
+        rel_score_ratio: Optional[float] = None,
     ) -> List[Tuple[int, float]]:
-        """DetectNBestCandidates-style query: shared-word gate at
-        min_common_ratio * max_common_words, then top scores.
+        """DetectNBestCandidates / DetectRelocalizationCandidates query
+        (reference KeyFrameDatabase.cc:612-897): shared-word gate at
+        min_common_ratio * max_common_words, then — when `covis_fn`
+        provides each stored keyframe's covisibility group — accumulate
+        scores over the group and return the best keyframe per group,
+        ranked by accumulated score.
 
-        Returns [(kf_id, score)] best-first.
+        covis_fn: kf_key -> iterable of kf_keys (top covisibles).
+        rel_score_ratio: if set (reloc uses 0.75), return ALL groups with
+        accScore >= ratio * best accScore instead of the top n_best.
+
+        Returns [(kf_id, acc_score)] best-first.
         """
         if self._next == 0:
             return []
@@ -104,6 +114,51 @@ class KeyFrameDatabase:
         if not gate.any():
             return []
         scores = self._scores(q)
-        idx = np.where(gate)[0]
-        order = idx[np.argsort(-scores[idx])][:n_best]
-        return [(int(self.kf_ids[i]), float(scores[i])) for i in order]
+
+        if covis_fn is None:
+            idx = np.where(gate)[0]
+            order = idx[np.argsort(-scores[idx])][:n_best]
+            return [(int(self.kf_ids[i]), float(scores[i])) for i in order]
+
+        # covisibility-group accumulation: every word-sharing keyframe
+        # contributes its score to the groups it belongs to; the group's
+        # representative is its highest-scoring member
+        sharing = live & (common > 0)
+        score_of = {
+            int(self.kf_ids[r]): float(scores[r])
+            for r in np.where(sharing)[0]
+        }
+        groups: List[Tuple[float, int]] = []
+        for r in np.where(gate)[0]:
+            seed = int(self.kf_ids[r])
+            acc = score_of.get(seed, 0.0)
+            best_kf, best_s = seed, acc
+            for member in list(covis_fn(seed))[:10]:
+                s = score_of.get(int(member))
+                if s is None:
+                    continue  # not word-sharing with the query
+                acc += s
+                if s > best_s:
+                    best_kf, best_s = int(member), s
+            groups.append((acc, best_kf))
+        if not groups:
+            return []
+        groups.sort(key=lambda g: -g[0])
+        out: List[Tuple[int, float]] = []
+        seen: set = set()
+        if rel_score_ratio is not None:
+            min_acc = rel_score_ratio * groups[0][0]
+            for acc, kf in groups:
+                if acc < min_acc:
+                    break
+                if kf not in seen:
+                    seen.add(kf)
+                    out.append((kf, acc))
+        else:
+            for acc, kf in groups:
+                if kf not in seen:
+                    seen.add(kf)
+                    out.append((kf, acc))
+                if len(out) >= n_best:
+                    break
+        return out

@@ -122,9 +122,24 @@ class LoopCloser:
         mid = mp.mid
         kf = mp.keyframes[kf_id]
         covis = {k for k, _ in mp.covisible_keyframes(kf_id, 1)} | {kf_id}
+
+        def covis_keys(key, _atlas=atlas, _mp=mp):
+            """Covisibility group of a stored entry, as database keys
+            (reference DetectNBestCandidates accumulates scores over
+            GetBestCovisibilityKeyFrames(10))."""
+            m, k = decode_dbid(key)
+            target = _mp if m == _mp.mid else (
+                _atlas.map_by_mid(m) if _atlas is not None else None
+            )
+            if target is None or k not in target.keyframes:
+                return []
+            return [encode_dbid(m, nk)
+                    for nk, _ in target.covisible_keyframes(k, 1)[:10]]
+
         cands = self.db.query(
             kf.desc, valid=kf.valid,
             exclude={encode_dbid(mid, k) for k in covis}, n_best=3,
+            covis_fn=covis_keys,
         )
         self.db.add(encode_dbid(mid, kf_id), kf.desc, valid=kf.valid)
 

@@ -427,14 +427,28 @@ class Tracker:
         db = self.loop_closer.db
         candidates = []
         if db is not None:
-            from .loop_closing import decode_dbid
+            from .loop_closing import decode_dbid, encode_dbid
 
+            def covis_keys(key):
+                m, k = decode_dbid(key)
+                target = self.atlas.map_by_mid(m)
+                if target is None or k not in target.keyframes:
+                    return []
+                return [encode_dbid(m, nk)
+                        for nk, _ in target.covisible_keyframes(k, 1)[:10]]
+
+            # DetectRelocalizationCandidates (reference
+            # KeyFrameDatabase.cc:783): covisibility-group accumulation,
+            # all groups within 0.75x of the best accumulated score
             candidates = [
                 k
-                for key, _ in db.query(frame.desc, valid=frame.valid, n_best=5)
+                for key, _ in db.query(
+                    frame.desc, valid=frame.valid, n_best=5,
+                    covis_fn=covis_keys, rel_score_ratio=0.75,
+                )
                 for m, k in [decode_dbid(key)]
                 if m == mp.mid
-            ]
+            ][:5]
         if not candidates:
             # fallback: most recent keyframes
             candidates = sorted(mp.keyframes.keys())[-3:]

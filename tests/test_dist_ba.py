@@ -76,3 +76,133 @@ def test_sharded_reduces_error(rng):
         return np.sqrt(np.mean(e))
 
     assert rms(R_out, t_out, p_out) < 0.6
+
+
+def _ring_pose_graph(rng, K=24, E_pad=64):
+    """Noisy Sim3 ring: K poses on a circle, chain + a few chords, with
+    drift injected; returns a padded PoseGraphProblem."""
+    from extractorb_tpu.solver import pose_graph as pg
+
+    ang = np.linspace(0, 2 * np.pi, K, endpoint=False)
+    R_gt, t_gt = [], []
+    for a in ang:
+        R = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, a], jnp.float32)))
+        C = np.array([np.cos(a) * 3, np.sin(a) * 3, 0], np.float32)
+        R_gt.append(R)
+        t_gt.append(-R @ C)
+    R_gt, t_gt = np.stack(R_gt).astype(np.float32), np.stack(t_gt).astype(np.float32)
+
+    edges = [(k, (k + 1) % K) for k in range(K)]
+    edges += [(k, (k + 5) % K) for k in range(0, K, 3)]
+
+    def rel(i, j):
+        Rm = R_gt[j] @ R_gt[i].T
+        tm = t_gt[j] - Rm @ t_gt[i]
+        return Rm, tm
+
+    E = len(edges)
+    ei = np.array([e[0] for e in edges], np.int32)
+    ej = np.array([e[1] for e in edges], np.int32)
+    mR = np.stack([rel(*e)[0] for e in edges]).astype(np.float32)
+    mt = np.stack([rel(*e)[1] for e in edges]).astype(np.float32)
+
+    # drifted initialisation
+    R0, t0 = R_gt.copy(), t_gt.copy()
+    for k in range(1, K):
+        d = rng.normal(size=3).astype(np.float32) * 0.02
+        dR = np.asarray(lie.so3_exp(jnp.asarray(d)))
+        R0[k] = R_gt[k] @ dR
+        t0[k] = t_gt[k] + rng.normal(size=3).astype(np.float32) * 0.05
+
+    pad = E_pad - E
+    prob = pg.PoseGraphProblem(
+        R=jnp.asarray(R0), t=jnp.asarray(t0), s=jnp.ones(K, jnp.float32),
+        edge_i=jnp.asarray(np.concatenate([ei, np.zeros(pad, np.int32)])),
+        edge_j=jnp.asarray(np.concatenate([ej, np.zeros(pad, np.int32)])),
+        m_R=jnp.asarray(np.concatenate(
+            [mR, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])),
+        m_t=jnp.asarray(np.concatenate([mt, np.zeros((pad, 3), np.float32)])),
+        m_s=jnp.ones(E_pad, jnp.float32),
+        weight=jnp.ones(E_pad, jnp.float32),
+        edge_valid=jnp.asarray(
+            np.concatenate([np.ones(E, bool), np.zeros(pad, bool)])),
+        fixed=jnp.asarray(np.arange(K) == 0),
+    )
+    return prob, R_gt, t_gt
+
+
+def test_sharded_pose_graph_matches_single(rng):
+    """Edge-sharded essential-graph GN equals the single-device solver
+    (SURVEY §5.7: pose graph shards edges, psum-reduces the system)."""
+    from extractorb_tpu.dist import sharded_pose_graph as dpg
+    from extractorb_tpu.solver import pose_graph as pg
+
+    prob, R_gt, t_gt = _ring_pose_graph(rng)
+    R1, t1, s1, c1 = pg.optimize_pose_graph(prob, n_iters=10)
+    mesh = dmesh.make_mesh(8)
+    R8, t8, s8, c8 = dpg.optimize_sharded_pose_graph(mesh, prob, n_iters=10)
+    np.testing.assert_allclose(np.asarray(R8), np.asarray(R1), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(t8), np.asarray(t1), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(s1), atol=5e-3)
+    # and the optimisation actually fixed the drift
+    err = np.linalg.norm(np.asarray(t8) - t_gt, axis=-1).mean()
+    err0 = np.linalg.norm(np.asarray(prob.t) - t_gt, axis=-1).mean()
+    assert err < 0.5 * err0, (err0, err)
+
+
+def test_kf_block_sharding_roundtrip(rng):
+    """KF-axis sharded place scores + all_gather covisibility fetch
+    (SURVEY §5.7: covisibility fetch = all_gather of candidate blocks)."""
+    from extractorb_tpu.dist import kf_blocks as kfb
+
+    mesh = dmesh.make_mesh(8)
+    K, W, N = 24, 64, 32
+    hists = rng.random((K, W)).astype(np.float32)
+    hists /= hists.sum(1, keepdims=True)
+    has_word = hists > 1.0 / W
+    valid = np.ones(K, bool)
+    valid[-3:] = False
+    q = hists[5] + rng.random(W).astype(np.float32) * 0.01
+    q /= q.sum()
+
+    Kp = 24  # multiple of 8
+    scores, common = kfb.sharded_place_scores(
+        mesh, kfb.shard_kf_axis(mesh, jnp.asarray(hists)),
+        kfb.shard_kf_axis(mesh, jnp.asarray(has_word)),
+        kfb.shard_kf_axis(mesh, jnp.asarray(valid)),
+        jnp.asarray(q),
+    )
+    scores = np.asarray(scores)
+    # matches the host formula
+    ref = 1.0 - 0.5 * np.abs(hists - q[None]).sum(1)
+    ref[~valid] = -np.inf
+    np.testing.assert_allclose(scores, ref, atol=1e-5)
+    assert int(np.argmax(scores)) == 5
+
+    # covisibility fetch: every device receives the requested blocks
+    desc = rng.integers(0, 256, (K, N, 32), np.uint8)
+    idx = np.array([5, 17, 2], np.int32)
+    got = kfb.all_gather_kf_blocks(
+        mesh, kfb.shard_kf_axis(mesh, jnp.asarray(desc)), jnp.asarray(idx)
+    )
+    np.testing.assert_array_equal(np.asarray(got), desc[idx])
+
+
+def test_sharded_loop_candidate_match(rng):
+    """Distributed whole-database descriptor matching: the KF holding a
+    copy of the query's descriptors wins."""
+    from extractorb_tpu.dist import kf_blocks as kfb
+
+    mesh = dmesh.make_mesh(8)
+    K, N = 16, 64
+    desc = rng.integers(0, 256, (K, N, 32), np.uint8)
+    q = desc[11].copy()
+    counts = kfb.sharded_loop_candidate_match(
+        mesh,
+        kfb.shard_kf_axis(mesh, jnp.asarray(desc)),
+        kfb.shard_kf_axis(mesh, jnp.asarray(np.ones((K, N), bool))),
+        jnp.asarray(q), jnp.asarray(np.ones(N, bool)),
+    )
+    counts = np.asarray(counts)
+    assert int(np.argmax(counts)) == 11
+    assert counts[11] >= N - 2

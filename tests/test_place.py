@@ -75,3 +75,46 @@ def test_db_exclude(vocab, frames_desc):
         db.add(i, d)
     res = db.query(frames_desc[0], exclude={0}, n_best=2)
     assert all(k != 0 for k, _ in res)
+
+
+def test_db_covisibility_group_accumulation(vocab, frames_desc, rng):
+    """DetectNBestCandidates group accumulation (reference
+    KeyFrameDatabase.cc:612-897): several medium-similarity keyframes in
+    one covisibility group must outrank an isolated keyframe whose
+    single score is higher, and the group's REPRESENTATIVE (best single
+    score inside the group) is returned."""
+    query = frames_desc[0]
+    n = len(query)
+    half = n // 2
+
+    def mixed(frac, seed):
+        """descriptor set sharing `frac` of the query's descriptors."""
+        r = np.random.default_rng(seed)
+        out = query.copy()
+        k = int(n * (1 - frac))
+        rows = r.choice(n, k, replace=False)
+        out[rows] = r.integers(0, 256, (k, 32), np.uint8)
+        return out
+
+    db = KeyFrameDatabase(vocab, capacity=16)
+    # group A: keyframes 1,2,3 covisible, each ~45% similar
+    db.add(1, mixed(0.45, 1))
+    db.add(2, mixed(0.50, 2))
+    db.add(3, mixed(0.45, 3))
+    # isolated keyframe 9: 60% similar (best single score)
+    db.add(9, mixed(0.60, 9))
+    groups = {1: [2, 3], 2: [1, 3], 3: [1, 2], 9: []}
+
+    flat = db.query(query, n_best=1)
+    assert flat[0][0] == 9  # single-score ranking picks the loner
+
+    grouped = db.query(query, n_best=2, covis_fn=lambda k: groups[k])
+    # group {1,2,3} accumulates ~1.4 vs the loner's ~0.6
+    assert grouped[0][0] == 2, grouped  # representative = best in group
+    assert grouped[0][1] > grouped[1][1]
+    assert grouped[1][0] == 9
+
+    # reloc mode: only groups within 0.75x of the best accumulated score
+    reloc = db.query(query, covis_fn=lambda k: groups[k],
+                     rel_score_ratio=0.75)
+    assert [k for k, _ in reloc] == [2]

@@ -1,0 +1,129 @@
+"""Real-image sequence tracking on the reference's own fixtures
+(round-1 verdict: the 18 robot JPGs and TUM-VI corridor PNGs in
+/root/reference/pic were unused by any tracking test).
+
+No ground truth ships with these images, so the quantitative check is
+internal consistency: the ONLINE per-frame trajectory must agree (after
+Sim3 alignment) with the final bundle-adjusted keyframe poses — the
+self-produced drift metric BASELINE.md calls for.
+"""
+
+import glob
+import os
+import re
+
+import cv2
+import numpy as np
+import pytest
+
+from extractorb_tpu.config import (
+    CameraConfig, ORBConfig, SLAMConfig, TrackingConfig,
+)
+from extractorb_tpu.slam.system import System
+from extractorb_tpu.slam.tracking import TrackState
+
+ROBOT_DIR = "/root/reference/pic/robot"
+TUM_DIR = "/root/reference/pic/TUM/dataset-corridor2_512_16"
+
+# TUM-VI 512 calibration hard-coded by the reference demos
+# (src/matcher/main_matcher.cpp:95-100)
+TUM_KB8 = dict(
+    fx=190.97847715128717, fy=190.9733070521226,
+    cx=254.93170605935475, cy=256.8974428996504,
+    k1=0.0034823894022493434, k2=0.0007150348452162257,
+    k3=-0.0020532361418706202, k4=0.00020293673591811182,
+)
+
+
+def robot_frames():
+    """The consecutive 865..873 robot subsequence (9 frames)."""
+    paths = sorted(
+        glob.glob(os.path.join(ROBOT_DIR, "*.jpg")),
+        key=lambda p: int(re.match(r"(\d+)", os.path.basename(p)).group(1)),
+    )
+    paths = [p for p in paths
+             if 865 <= int(re.match(r"(\d+)", os.path.basename(p)).group(1)) <= 873]
+    return [cv2.imread(p, 0) for p in paths]
+
+
+def umeyama_align(est, gt):
+    mu_e, mu_g = est.mean(0), gt.mean(0)
+    xe, xg = est - mu_e, gt - mu_g
+    cov = xg.T @ xe / len(est)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    var_e = (xe ** 2).sum() / len(est)
+    s = np.trace(np.diag(D) @ S) / max(var_e, 1e-12)
+    t = mu_g - s * R @ mu_e
+    return (s * (R @ est.T)).T + t
+
+
+@pytest.mark.slow
+def test_robot_sequence_tracks():
+    frames = robot_frames()
+    assert len(frames) == 9
+    cfg = SLAMConfig(
+        orb=ORBConfig(n_features=1200),
+        camera=CameraConfig(fx=520.0, fy=520.0, cx=320.0, cy=240.0,
+                            width=640, height=480),
+        tracking=TrackingConfig(max_frames=4),
+    )
+    s = System(cfg)
+    states = [s.track_monocular(img, k / 30.0) for k, img in enumerate(frames)]
+    # consecutive video frames carry little parallax, so initialization
+    # legitimately waits for baseline (like the reference); once up, it
+    # must hold to the end of the clip
+    n_ok = sum(1 for st in states if st == TrackState.OK)
+    assert n_ok >= 3, states
+    assert states[-1] == TrackState.OK, states
+    assert s.n_map_points() > 100
+    assert s.n_keyframes() >= 2
+
+    # online-vs-final consistency: frames whose timestamp has a keyframe
+    mp = s.tracker.atlas.current
+    kf_by_ts = {round(kf.timestamp, 6): kf for kf in mp.keyframes.values()}
+    online, final = [], []
+    for ts, R, t in s.tracker.trajectory:
+        kf = kf_by_ts.get(round(ts, 6))
+        if kf is None:
+            continue
+        online.append(-R.T @ t)
+        final.append(kf.center())
+    online, final = np.asarray(online), np.asarray(final)
+    assert len(online) >= 2
+    if len(online) >= 3:
+        aligned = umeyama_align(online, final)
+        rms = np.sqrt(((aligned - final) ** 2).sum(-1).mean())
+        scene = np.linalg.norm(final.max(0) - final.min(0))
+        assert rms < 0.25 * max(scene, 1e-6), (rms, scene)
+
+
+@pytest.mark.slow
+def test_tumvi_corridor_fisheye_tracks():
+    """Monocular KB8 fisheye tracking on the reference's TUM-VI corridor
+    frames (the `frame`/`matcher` demo fixtures)."""
+    names = sorted(glob.glob(os.path.join(TUM_DIR, "*.png")))
+    stamps = [int(os.path.basename(n).split(".")[0]) for n in names]
+    order = np.argsort(stamps)
+    # drop the outlier frame ~3s before the burst
+    seq = [(stamps[i] * 1e-9, cv2.imread(names[i], 0)) for i in order]
+    t0 = seq[-1][0]
+    seq = [(t, im) for t, im in seq if t0 - t < 1.0]
+    assert len(seq) >= 5
+
+    cfg = SLAMConfig(
+        orb=ORBConfig(n_features=1500),
+        camera=CameraConfig(
+            model="KannalaBrandt8", width=512, height=512, **TUM_KB8,
+        ),
+        tracking=TrackingConfig(max_frames=2),
+    )
+    s = System(cfg)
+    states = [s.track_monocular(im, t) for t, im in seq]
+    # the burst is only ~0.3 s of motion: initialization alone is the
+    # realistic bar for 5 frames; once initialised, tracking must hold
+    assert states[-1] == TrackState.OK, states
+    assert s.n_map_points() > 50
