@@ -138,6 +138,7 @@ def main():
     fps = 1.0 / per_frame
 
     extra = _full_slam_bench()
+    extra.update(_scaling_bench())
 
     print(
         json.dumps(
@@ -150,6 +151,28 @@ def main():
             }
         )
     )
+
+
+def _scaling_bench():
+    """Virtual-mesh collective-overhead efficiency of the sharded BA
+    step (bench_scaling.py in a CPU-backend subprocess; virtual devices
+    execute serially, so the meaningful ratio is T1/T8 at equal global
+    work — the sharding + psum overhead)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_scaling.py")],
+            capture_output=True, text=True, timeout=900,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        data = json.loads(line)
+        return {"mesh_" + k: v for k, v in data.items()}
+    except Exception as e:  # pragma: no cover
+        return {"scaling_bench_error": str(e)[:200]}
 
 
 def _full_slam_bench():

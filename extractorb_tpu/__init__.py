@@ -22,3 +22,14 @@ the host runs a thin scheduler replacing the reference's thread/mutex fabric
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU f32 matmuls default to one-pass bf16 operand rounding, which is
+# silently lossy for this engine's exact fixed-point kernels (the
+# pyramid's 11-bit interpolation weights exceed bf16's 8-bit mantissa:
+# frontend/pyramid.py) and for solver Jacobian products.  Force full
+# f32-effective precision for f32 matmuls; hot paths that want the MXU's
+# fast path (BRIEF one-hot contractions, bit-plane Hamming) pass
+# explicit bf16 operands and are unaffected by this flag.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Iterable, List, Sequence, Set
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,11 +75,19 @@ def run_ba(
     if not fixed.any():
         fixed[0] = True  # gauge
 
-    # bucketed padding so jit shapes repeat across calls
-    def bucket(n, q):
-        return int(np.ceil(max(n, 1) / q) * q)
+    # Coarse bucket ladders so jit shapes repeat across calls: the
+    # round-1 fine-grained buckets (K/8, P/1024, O/4096) produced a new
+    # XLA program almost every keyframe — ~3 s of recompilation each on
+    # the TPU backend, dominating full-SLAM wall-clock.
+    def bucket(n, ladder):
+        for b in ladder:
+            if n <= b:
+                return b
+        return int(np.ceil(n / ladder[-1]) * ladder[-1])
 
-    Kp, Pp, Op = bucket(K, 8), bucket(P, 1024), bucket(O, 4096)
+    Kp = bucket(K, (32, 64, 128, 256))
+    Pp = bucket(P, (2048, 8192, 32768))
+    Op = bucket(O, (8192, 32768, 131072))
     Rs_p = np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))
     ts_p = np.zeros((Kp, 3), np.float32)
     Rs_p[:K], ts_p[:K] = Rs, ts
@@ -113,15 +122,18 @@ def run_ba(
     )
     res = sba.optimize(prob, project, n_iters=n_iters, cg_iters=40)
 
-    R_out = np.asarray(res.R)[:K]
-    t_out = np.asarray(res.t)[:K]
+    R_all, t_all, pts_out, inl = jax.device_get(
+        (res.R, res.t, res.points, res.inliers)
+    )
+    R_out = np.asarray(R_all)[:K]
+    t_out = np.asarray(t_all)[:K]
     for k, i in kf_index.items():
         if not fixed[i]:
             mp.keyframes[k].R = R_out[i]
             mp.keyframes[k].t = t_out[i]
-    mp.mp_pos[pt_ids] = np.asarray(res.points)[:P]
+    mp.mp_pos[pt_ids] = np.asarray(pts_out)[:P]
 
-    inl = np.asarray(res.inliers)
+    inl = np.asarray(inl)
     for o in np.where(~inl[:O])[0]:
         p = int(pt_ids[obs_mp[o]])
         kf_id = kf_ids[obs_kf[o]]

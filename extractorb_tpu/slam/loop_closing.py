@@ -93,7 +93,7 @@ def _sim3_compose(Ra, ta, sa, Rb, tb, sb):
 class LoopCloser:
     def __init__(self, vocab, project, scale_factors=None, img_wh=None,
                  inv_sigma2=None, thresholds: Optional[LoopThresholds] = None,
-                 fix_scale: bool = False):
+                 fix_scale: bool = False, imu_calib=None):
         from ..place.database import KeyFrameDatabase
 
         self.db = KeyFrameDatabase(vocab, capacity=256) if vocab else None
@@ -104,6 +104,7 @@ class LoopCloser:
         self.img_wh = tuple(img_wh or (640, 480))
         self.inv_sigma2 = inv_sigma2
         self.fix_scale = fix_scale
+        self.imu_calib = imu_calib
         self.th = thresholds or LoopThresholds()
         self.n_loops = 0
         self.n_merges = 0
@@ -574,11 +575,16 @@ class LoopCloser:
             m1 = remap.get(mp1, -1)
             if m1 >= 0 and m1 != mp2:
                 self._merge_points(other, keep=mp2, drop=m1)
-        # welding bundle adjustment around the seam
+        # welding bundle adjustment around the seam; inertial welds also
+        # run the VI window BA (MergeInertialBA, Optimizer.cc:6760)
         if self.inv_sigma2 is not None:
             mg.weld_bundle_adjustment(
                 other, info["kf_cur"], info["kf_matched"],
                 self.project, self.inv_sigma2,
+            )
+        if self.imu_calib is not None and other.imu_initialized:
+            mg.weld_inertial_bundle_adjustment(
+                other, self.imu_calib, self.project, info["kf_cur"],
             )
         return info
 
@@ -764,7 +770,11 @@ class LoopCloser:
             edge_valid=jnp.ones(E, bool),
             fixed=jnp.asarray(np.array([k == cand_id for k in kf_ids])),
         )
-        R_new, t_new, s_new, _ = pg.optimize_pose_graph(prob, n_iters=15)
+        # stereo/RGBD: scale is observable -> 6-DoF fixed-scale graph
+        # (reference OptimizeEssentialGraph bFixScale, Optimizer.cc:2621)
+        R_new, t_new, s_new, _ = pg.optimize_pose_graph(
+            prob, n_iters=15, fix_scale=self.fix_scale
+        )
         R_new = np.asarray(R_new)
         t_new = np.asarray(t_new)
         s_new = np.asarray(s_new)

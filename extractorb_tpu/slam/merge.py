@@ -174,3 +174,19 @@ def weld_bundle_adjustment(
         mp, sorted(local | fixed), fixed, project, inv_sigma2,
         n_iters=n_iters,
     )
+
+
+def weld_inertial_bundle_adjustment(
+    mp: SLAMMap, calib, project, kf_cur: int, n_window: int = 10,
+) -> bool:
+    """MergeInertialBA analog (reference src/Optimizer.cc:6760): after an
+    inertial Atlas weld, refine the temporal window around the seam with
+    the visual + preintegration + bias-RW window BA.  The welded map's
+    prev_kf chain and (Sim3-corrected) velocities were preserved by
+    merge_maps, so the seam window is exactly the LocalInertialBA shape.
+    """
+    from . import imu_frontend
+
+    return imu_frontend.local_inertial_ba(
+        mp, calib, project, kf_cur, n_window=n_window,
+    )

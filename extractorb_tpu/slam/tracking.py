@@ -182,28 +182,32 @@ class Tracker:
             self.imu_calib = ImuCalib.from_config(cfg.imu)
             self.imu_queue = imu_frontend.ImuQueue(self.imu_calib)
             self.local_mapper.imu_calib = self.imu_calib
+            self.loop_closer.imu_calib = self.imu_calib
 
     # ------------------------------------------------------------ frames
 
     def _make_frame(self, img: np.ndarray, ts: float, init: bool = False) -> Frame:
         ext = self.init_extractor if init else self.extractor
         feats = ext(jnp.asarray(img))
-        xy = np.asarray(feats.xy)
         if self.has_dist:
-            xy_un = np.asarray(
-                undistort_points_pinhole(jnp.asarray(xy), self.cam, self.dist)
-            )
+            un_dev = undistort_points_pinhole(feats.xy, self.cam, self.dist)
         else:
-            xy_un = xy
+            un_dev = feats.xy
+        # single device fetch for all host copies (each np.asarray of a
+        # device array is one blocking round trip — ~45 ms over the
+        # tunneled TPU backend, so batching them matters)
+        xy_un, octave, angle, desc, valid = jax.device_get(
+            (un_dev, feats.octave, feats.angle, feats.desc, feats.valid)
+        )
         f = Frame(
             frame_id=self._next_frame_id,
             timestamp=ts,
             feats=feats,
-            xy_un=xy_un.astype(np.float32),
-            octave=np.asarray(feats.octave),
-            angle=np.asarray(feats.angle),
-            desc=np.asarray(feats.desc),
-            valid=np.asarray(feats.valid),
+            xy_un=np.asarray(xy_un, np.float32),
+            octave=np.asarray(octave),
+            angle=np.asarray(angle),
+            desc=np.asarray(desc),
+            valid=np.asarray(valid),
             kp_mp=np.full(feats.capacity, INVALID, np.int32),
         )
         self._next_frame_id += 1
@@ -305,11 +309,48 @@ class Tracker:
                 self.last_kf_ts, frame.timestamp, self.cur_bias
             )
 
+    def _check_timestamps(self, ts: float) -> bool:
+        """Clock-sanity guards (reference Tracking.cc:1415-1451).
+
+        Returns True when the frame must be dropped: a timestamp
+        REGRESSION clears the IMU queue and starts a fresh Atlas map (a
+        bad clock would silently corrupt preintegration), and a JUMP of
+        more than one second resets/forks the map for inertial runs
+        (preintegrating across the gap is meaningless) and skips the
+        frame for visual-only runs.
+        """
+        if self.state == TrackState.NO_IMAGES_YET or self.last_frame is None:
+            return False
+        last_ts = self.last_frame.timestamp
+        if last_ts > ts:
+            if self.inertial:
+                self.imu_queue.drop_before(float("inf"))
+            self._reset_map()
+            return True
+        if ts > last_ts + 1.0:
+            if self.inertial:
+                mp = self.atlas.current
+                if mp.imu_initialized and mp.imu_ba2:
+                    self._reset_map()          # CreateMapInAtlas
+                else:
+                    self._reset_active_map()   # ResetActiveMap
+            return True
+        return False
+
+    def _reset_active_map(self):
+        """System::ResetActiveMap analog (src/System.cc:441): discard the
+        current map's contents and restart in place."""
+        old_mid = self.atlas.current.mid
+        self._reset_map()
+        self.atlas.remove_map(old_mid)
+
     def track(self, img: np.ndarray, ts: float, imu=None):
         """GrabImageMonocular + Track (reference Tracking.cc:1038, :1390).
         `imu` is the optional list of (t, acc, gyro) measurements since
         the previous frame (inertial sensors)."""
         self.grab_imu(imu)
+        if self._check_timestamps(ts):
+            return self.state
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self._monocular_initialization(img, ts)
             return self.state
@@ -321,6 +362,8 @@ class Tracker:
                      imu=None):
         """GrabImageStereo + Track (reference Tracking.cc + System.cc:222)."""
         self.grab_imu(imu)
+        if self._check_timestamps(ts):
+            return self.state
         frame = self._make_frame_stereo(img_l, img_r, ts)
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self._stereo_initialization(frame)
@@ -330,6 +373,8 @@ class Tracker:
 
     def track_rgbd(self, img: np.ndarray, depthmap: np.ndarray, ts: float):
         """GrabImageRGBD + Track (reference System.cc:288)."""
+        if self._check_timestamps(ts):
+            return self.state
         frame = self._make_frame_rgbd(img, depthmap, ts)
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self._stereo_initialization(frame)
@@ -820,31 +865,51 @@ class Tracker:
         local_kfs = [self.ref_kf] + [
             k for k, _ in mp.covisible_keyframes(self.ref_kf, min_weight=1)[:10]
         ]
-        pt_ids = mp.points_seen_by(local_kfs)
+        # Device-array cache: between keyframes the map is unchanged
+        # (version counter constant), so the padded local-point blocks
+        # from the previous frame are reused instead of re-uploading
+        # ~0.6 MB over the device link every frame.
+        cache_key = (id(mp), mp.version, self.ref_kf)
+        cached = getattr(self, "_local_map_cache", None)
+        M = 4096
+        if cached is not None and cached[0] == cache_key:
+            _, pt_ids, d_pos, d_desc, d_norm, d_maxd, base_val = cached
+            k = len(pt_ids)
+        else:
+            pt_ids = mp.points_seen_by(local_kfs)
+            if len(pt_ids) == 0:
+                return False
+            pt_ids = pt_ids[:M]
+            k = len(pt_ids)
+            mp_pos = np.zeros((M, 3), np.float32)
+            mp_desc = np.zeros((M, 32), np.uint8)
+            mp_norm = np.zeros((M, 3), np.float32)
+            mp_maxd = np.ones((M,), np.float32)
+            base_val = np.zeros((M,), bool)
+            mp_pos[:k] = mp.mp_pos[pt_ids]
+            mp_desc[:k] = mp.mp_desc[pt_ids]
+            mp_norm[:k] = mp.mp_normal[pt_ids]
+            mp_maxd[:k] = mp.mp_max_dist[pt_ids]
+            base_val[:k] = mp.mp_valid[pt_ids]
+            d_pos = jnp.asarray(mp_pos)
+            d_desc = jnp.asarray(mp_desc)
+            d_norm = jnp.asarray(mp_norm)
+            d_maxd = jnp.asarray(mp_maxd)
+            self._local_map_cache = (
+                cache_key, pt_ids, d_pos, d_desc, d_norm, d_maxd, base_val,
+            )
         if len(pt_ids) == 0:
             return False
-        M = 4096
-        pt_ids = pt_ids[:M]
-        k = len(pt_ids)
-        mp_pos = np.zeros((M, 3), np.float32)
-        mp_desc = np.zeros((M, 32), np.uint8)
-        mp_norm = np.zeros((M, 3), np.float32)
-        mp_maxd = np.ones((M,), np.float32)
-        mp_val = np.zeros((M,), bool)
-        mp_pos[:k] = mp.mp_pos[pt_ids]
-        mp_desc[:k] = mp.mp_desc[pt_ids]
-        mp_norm[:k] = mp.mp_normal[pt_ids]
-        mp_maxd[:k] = mp.mp_max_dist[pt_ids]
-        mp_val[:k] = mp.mp_valid[pt_ids]
         # points already matched in the frame are not searched again
+        mp_val = base_val.copy()
         already = np.isin(pt_ids, frame.kp_mp[frame.kp_mp >= 0])
         mp_val[:k] &= ~already
 
         kp_free = frame.valid & (frame.kp_mp < 0)
         matches = np.asarray(
             fm.search_by_projection_local_map(
-                jnp.asarray(mp_pos), jnp.asarray(mp_desc), jnp.asarray(mp_val),
-                jnp.asarray(mp_norm), jnp.asarray(mp_maxd),
+                d_pos, d_desc, jnp.asarray(mp_val),
+                d_norm, d_maxd,
                 jnp.asarray(frame.R), jnp.asarray(frame.t),
                 jnp.asarray(frame.xy_un), frame.feats.desc,
                 frame.feats.octave, jnp.asarray(kp_free), None,
@@ -912,16 +977,19 @@ class Tracker:
             jnp.asarray(calib.Rcb), jnp.asarray(calib.tcb),
             self.project,
         )
-        frame.R, frame.t = calib.cam_from_body(
-            np.asarray(res.Rwb), np.asarray(res.twb)
+        Rwb, twb, v_n, bg_n, ba_n, inl = jax.device_get(
+            (res.Rwb, res.twb, res.v, res.bg, res.ba, res.inliers)
         )
-        frame.v = np.asarray(res.v)
-        frame.bg = np.asarray(res.bg)
-        frame.ba = np.asarray(res.ba)
+        frame.R, frame.t = calib.cam_from_body(
+            np.asarray(Rwb), np.asarray(twb)
+        )
+        frame.v = np.asarray(v_n)
+        frame.bg = np.asarray(bg_n)
+        frame.ba = np.asarray(ba_n)
         self.cur_bias = np.concatenate([frame.bg, frame.ba]).astype(
             np.float32
         )
-        inl = np.asarray(res.inliers)[:k]
+        inl = np.asarray(inl)[:k]
         frame.kp_mp[idx[~inl]] = INVALID
         return int(inl.sum()) >= min_inliers
 
@@ -956,9 +1024,10 @@ class Tracker:
             jnp.asarray(val), self.project,
             bf=self.bf, obs_ur=obs_ur,
         )
-        inl = np.asarray(res.inliers)[:k]
-        frame.R = np.asarray(res.R)
-        frame.t = np.asarray(res.t)
+        inl, R_new, t_new = jax.device_get((res.inliers, res.R, res.t))
+        inl = inl[:k]
+        frame.R = np.asarray(R_new)
+        frame.t = np.asarray(t_new)
         # drop outlier associations
         frame.kp_mp[idx[~inl]] = INVALID
         return int(inl.sum()) >= min_inliers

@@ -193,13 +193,20 @@ def _edge_residual(Ri, ti, si, Rj, tj, sj, mR, mt, ms, di, dj):
     return lie.sim3_log(Rb, tb, sb)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def optimize_pose_graph(
-    p: PoseGraphProblem, n_iters: int = 15, cg_iters: int = 50
+    p: PoseGraphProblem, n_iters: int = 15, cg_iters: int = 50,
+    fix_scale: bool = False,
 ):
+    """fix_scale=True freezes the per-vertex scale coordinate — the
+    reference's 6-DoF stereo/RGBD essential graph
+    (OptimizeEssentialGraph with bFixScale, src/Optimizer.cc:2621)."""
     K = p.R.shape[0]
     dtype = p.t.dtype
     free = (~p.fixed).astype(dtype)[:, None]
+    if fix_scale:
+        # mask the scale tangent dimension (index 6 of the sim3 log)
+        free = free * (jnp.arange(7) < 6).astype(dtype)[None, :]
     zero7 = jnp.zeros(7, dtype)
 
     def build(R, t, s):

@@ -86,3 +86,44 @@ def test_ransac_pnp_respects_valid_mask(rng):
     )
     assert bool(res.ok)
     assert not np.asarray(res.inliers)[~valid].any()
+
+
+def test_epnp_beats_dlt_under_noise(rng):
+    """EPnP minimal solver (reference inc/PnPsolver.h:60-92) vs the
+    round-1 DLT under realistic pixel noise (sigma ~ 2.5 px at f=500):
+    the control-point parametrization must recover the pose and a large
+    inlier set where the raw projective DLT degrades (the round-1
+    verdict's noise-fragility finding)."""
+    n = 150
+    pts = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+         rng.uniform(4, 9, n)], -1,
+    ).astype(np.float32)
+    R = np.asarray(lie.so3_exp(jnp.asarray([0.15, -0.1, 0.08], jnp.float32)))
+    t = np.array([0.4, -0.2, 0.6], np.float32)
+    pc = pts @ R.T + t
+    xy = pc[:, :2] / pc[:, 2:3]
+    sigma = 2.5 / 500.0  # 2.5 px at f=500, in normalized units
+    xy = (xy + rng.normal(0, sigma, xy.shape)).astype(np.float32)
+    valid = np.ones(n, bool)
+    th = 3.0 * sigma
+
+    def run(solver, seed):
+        return pnp.ransac_pnp(
+            jnp.asarray(pts), jnp.asarray(xy), jnp.asarray(valid),
+            jax.random.PRNGKey(seed), th=th, n_hypotheses=128,
+            solver=solver,
+        )
+
+    def ang_err(res):
+        dR = np.asarray(res.R) @ R.T
+        return np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+
+    ep = [run("epnp", s) for s in range(5)]
+    dl = [run("dlt", s) for s in range(5)]
+    ep_inl = np.mean([int(r.n_inliers) for r in ep])
+    dl_inl = np.mean([int(r.n_inliers) for r in dl])
+    # EPnP finds a clearly larger consensus set and a tighter pose
+    assert ep_inl > dl_inl * 1.15, (ep_inl, dl_inl)
+    assert ep_inl > 0.75 * n, ep_inl
+    assert np.mean([ang_err(r) for r in ep]) < 1.5  # unrefined minimal solve

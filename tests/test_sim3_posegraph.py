@@ -310,3 +310,48 @@ def test_optimize_sim3_fixed_scale(rng):
     )
     assert float(res.s12) == 1.0  # scale frozen (stereo mode)
     assert int(res.n_in) >= n - 2
+
+
+def test_pose_graph_fixed_scale_mode(rng):
+    """6-DoF essential graph (reference Optimizer.cc:2621): with
+    fix_scale, vertex scales stay exactly 1 while rotations/translations
+    still converge."""
+    K = 12
+    ang = np.linspace(0, np.pi, K)
+    R_gt, t_gt = [], []
+    for a in ang:
+        R = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, a], jnp.float32)))
+        C = np.array([np.cos(a), np.sin(a), 0], np.float32) * 2
+        R_gt.append(R)
+        t_gt.append(-R @ C)
+    R_gt = np.stack(R_gt).astype(np.float32)
+    t_gt = np.stack(t_gt).astype(np.float32)
+    edges = [(k, k + 1) for k in range(K - 1)] + [(0, K - 1)]
+    E = len(edges)
+
+    def rel(i, j):
+        Rm = R_gt[j] @ R_gt[i].T
+        return Rm, t_gt[j] - Rm @ t_gt[i]
+
+    R0, t0 = R_gt.copy(), t_gt.copy()
+    for k in range(1, K):
+        d = rng.normal(size=3).astype(np.float32) * 0.02
+        R0[k] = R_gt[k] @ np.asarray(lie.so3_exp(jnp.asarray(d)))
+        t0[k] = t_gt[k] + rng.normal(size=3).astype(np.float32) * 0.05
+
+    prob = pg.PoseGraphProblem(
+        R=jnp.asarray(R0), t=jnp.asarray(t0), s=jnp.ones(K, jnp.float32),
+        edge_i=jnp.asarray(np.array([e[0] for e in edges], np.int32)),
+        edge_j=jnp.asarray(np.array([e[1] for e in edges], np.int32)),
+        m_R=jnp.asarray(np.stack([rel(*e)[0] for e in edges])),
+        m_t=jnp.asarray(np.stack([rel(*e)[1] for e in edges])),
+        m_s=jnp.ones(E, jnp.float32),
+        weight=jnp.ones(E, jnp.float32),
+        edge_valid=jnp.ones(E, bool),
+        fixed=jnp.asarray(np.arange(K) == 0),
+    )
+    R, t, s, _ = pg.optimize_pose_graph(prob, n_iters=12, fix_scale=True)
+    np.testing.assert_array_equal(np.asarray(s), np.ones(K, np.float32))
+    err = np.linalg.norm(np.asarray(t) - t_gt, axis=-1).mean()
+    err0 = np.linalg.norm(t0 - t_gt, axis=-1).mean()
+    assert err < 0.3 * err0, (err0, err)
