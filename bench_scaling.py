@@ -28,6 +28,10 @@ import numpy as np
 
 def main():
     import jax
+
+    # the axon plugin can win platform selection despite JAX_PLATFORMS
+    # (see tests/conftest.py); force the CPU backend explicitly
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from extractorb_tpu.dist import mesh as dmesh
@@ -41,7 +45,7 @@ def main():
         ).reshape(2)
 
     rng = np.random.default_rng(0)
-    K, P = 16, 1024
+    K, P = 16, 2048
     O = K * P // 2
     O = ((O + 7) // 8) * 8
     pts = np.stack(
@@ -77,7 +81,7 @@ def main():
 
         def step():
             r = dba.optimize_sharded(
-                mesh, prob, project, n_iters=2, cg_iters=10
+                mesh, prob, project, n_iters=4, cg_iters=20
             )
             jax.block_until_ready(r.R)
 

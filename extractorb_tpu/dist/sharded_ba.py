@@ -47,6 +47,8 @@ def optimize_sharded(
     O = p.obs_kf.shape[0]
     assert O % n_dev == 0, (O, n_dev)
 
+    run = _make_run(mesh, project, n_iters, cg_iters, use_huber, axis)
+
     obs_sharding = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
 
@@ -63,6 +65,21 @@ def optimize_sharded(
         fixed_mp=jax.device_put(p.fixed_mp, rep),
     )
 
+    R, t, points, inliers, cost = run(
+        p.R, p.t, p.points, p.obs_kf, p.obs_mp, p.obs_uv, p.inv_sigma2,
+        p.obs_valid, p.fixed_kf, p.fixed_mp,
+    )
+    return BAResult(R=R, t=t, points=points, inliers=inliers, cost=cost)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_run(mesh, project, n_iters, cg_iters, use_huber, axis):
+    """Build + jit the sharded LM program ONCE per (mesh, config): a
+    bare shard_map call re-traces on every invocation (~18 s of tracing
+    per BA call for the scan-of-jacfwd body), so the jitted callable is
+    cached here and jit's shape cache handles the rest."""
+
+    @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -220,8 +237,4 @@ def optimize_sharded(
         cost = jax.lax.psum(jnp.sum(jnp.where(obs_valid, chi2, 0.0)), axis)
         return R, t, points, inliers, cost
 
-    R, t, points, inliers, cost = run(
-        p.R, p.t, p.points, p.obs_kf, p.obs_mp, p.obs_uv, p.inv_sigma2,
-        p.obs_valid, p.fixed_kf, p.fixed_mp,
-    )
-    return BAResult(R=R, t=t, points=points, inliers=inliers, cost=cost)
+    return run

@@ -38,6 +38,8 @@ def optimize_sharded_pose_graph(
     E = p.edge_i.shape[0]
     assert E % n_dev == 0, (E, n_dev)
 
+    run = _make_run(mesh, n_iters, cg_iters, axis)
+
     eshard = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
     p = PoseGraphProblem(
@@ -53,6 +55,18 @@ def optimize_sharded_pose_graph(
         fixed=jax.device_put(p.fixed, rep),
     )
 
+    return run(
+        p.R, p.t, p.s, p.edge_i, p.edge_j, p.m_R, p.m_t, p.m_s,
+        p.weight, p.edge_valid, p.fixed,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _make_run(mesh, n_iters, cg_iters, axis):
+    """Build + jit the sharded pose-graph program once per
+    (mesh, config); bare shard_map calls re-trace every invocation."""
+
+    @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -173,7 +187,4 @@ def optimize_sharded_pose_graph(
         R, t, s, _ = state
         return R, t, s, costs[-1]
 
-    return run(
-        p.R, p.t, p.s, p.edge_i, p.edge_j, p.m_R, p.m_t, p.m_s,
-        p.weight, p.edge_valid, p.fixed,
-    )
+    return run

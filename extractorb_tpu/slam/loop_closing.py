@@ -677,8 +677,14 @@ class LoopCloser:
                     kf.kp_mp[kp] = loop_mp
                     mp.add_observation(loop_mp, k, kp)
 
-        # 6. essential-graph optimisation + point correction
-        self._optimize_essential_graph(mp, kf_id, cand_id, window)
+        # 6. essential-graph optimisation + point correction.  Edge
+        # measurements must come from the PRE-correction poses
+        # (NonCorrectedSim3 in the reference, Optimizer.cc:2303):
+        # measuring boundary edges with the already-corrected window
+        # poses would bake the loop discontinuity into the measurement
+        # and the graph would not distribute the drift.
+        self._optimize_essential_graph(mp, kf_id, cand_id, window,
+                                       non_corrected)
 
         # 7. record the loop edge for future pose graphs
         mp.keyframes[kf_id].loop_edges.append(cand_id)
@@ -699,11 +705,14 @@ class LoopCloser:
         mp.version += 1
 
     def _optimize_essential_graph(self, mp: SLAMMap, kf_id: int,
-                                  cand_id: int, window: List[int]):
+                                  cand_id: int, window: List[int],
+                                  non_corrected=None):
         """OptimizeEssentialGraph (reference Optimizer.cc:2303): nodes =
         all keyframes, edges = spanning tree + loop edges + strong
         covisibility (>=100) + the new loop connection; matched loop KF
-        fixed."""
+        fixed.  `non_corrected` maps window keyframes to their
+        pre-correction (R, t, s) used for edge measurements."""
+        non_corrected = non_corrected or {}
         kf_ids = sorted(mp.keyframes.keys())
         index = {k: i for i, k in enumerate(kf_ids)}
         K = len(kf_ids)
@@ -714,13 +723,20 @@ class LoopCloser:
         edges = []
         seen = set()
 
+        def pose_meas(i):
+            got = non_corrected.get(i)
+            if got is not None:
+                return got[0], got[1]
+            kf = mp.keyframes[i]
+            return kf.R, kf.t
+
         def rel(i, j, w=1.0):
             key = (min(i, j), max(i, j))
             if key in seen or i == j:
                 return
             seen.add(key)
-            Ri, ti = mp.keyframes[i].R, mp.keyframes[i].t
-            Rj, tj = mp.keyframes[j].R, mp.keyframes[j].t
+            Ri, ti = pose_meas(i)
+            Rj, tj = pose_meas(j)
             Rm = (Rj @ Ri.T).astype(np.float32)
             tm = (tj - Rm @ ti).astype(np.float32)
             edges.append((index[i], index[j], Rm, tm, np.float32(1.0), w))

@@ -216,3 +216,39 @@ def test_ba_stereo_observations(rng):
         return np.sqrt(np.mean(r))
     assert rms(res.R, res.t, res.points) < 0.6
     assert np.asarray(res.inliers).mean() > 0.9
+
+
+def test_marginalize_condition_sparsify(rng):
+    """Schur utilities (reference Optimizer.cc:5026-5140): marginalizing
+    a Gaussian block must reproduce the analytic Schur complement,
+    conditioning zeroes it, and sparsify removes exactly the cross-block
+    information."""
+    import jax.numpy as jnp
+
+    from extractorb_tpu.solver import marginal as mg
+
+    n = 9
+    A = rng.normal(size=(n, n + 3)).astype(np.float32)
+    H = A @ A.T + 0.1 * np.eye(n, dtype=np.float32)
+
+    # marginalize middle block [3..5]
+    got = np.asarray(mg.marginalize(jnp.asarray(H), 3, 5))
+    keep = np.r_[0:3, 6:9]
+    marg = np.r_[3:6]
+    schur = H[np.ix_(keep, keep)] - H[np.ix_(keep, marg)] @ np.linalg.inv(
+        H[np.ix_(marg, marg)]) @ H[np.ix_(marg, keep)]
+    np.testing.assert_allclose(got[np.ix_(keep, keep)], schur, rtol=2e-4,
+                               atol=2e-4)
+    assert np.all(got[3:6, :] == 0) and np.all(got[:, 3:6] == 0)
+
+    got_c = np.asarray(mg.condition(jnp.asarray(H), 3, 5))
+    assert np.all(got_c[3:6, :] == 0) and np.all(got_c[:, 3:6] == 0)
+    np.testing.assert_array_equal(got_c[np.ix_(keep, keep)],
+                                  H[np.ix_(keep, keep)])
+
+    # sparsify blocks [0..2] and [6..8]: their cross coupling vanishes,
+    # and marginalizing the rest out of H' gives (approximately) the
+    # independent marginals
+    got_s = np.asarray(mg.sparsify(jnp.asarray(H), 0, 2, 6, 8))
+    np.testing.assert_allclose(got_s[0:3, 6:9], 0, atol=2e-3)
+    np.testing.assert_allclose(got_s[6:9, 0:3], 0, atol=2e-3)
