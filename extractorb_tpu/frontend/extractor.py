@@ -15,6 +15,7 @@ keeps the pipeline async, approximate final-stage splits) or host-exact
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional
 
 import jax
@@ -71,11 +72,30 @@ class ORBExtractor:
         self.octree = octree
         self.scales = _scale_factors(cfg)
         self.budgets = cfg.features_per_level
+        self._jits = {}
 
     def __call__(self, img: jnp.ndarray, capacity: Optional[int] = None) -> Features:
-        """Extract ORB features from a uint8 grayscale image (H, W)."""
+        """Extract ORB features from a uint8 grayscale image (H, W).
+
+        The device-octree path compiles the WHOLE per-level pipeline
+        (pyramid -> FAST -> octree -> orientation -> blur -> BRIEF ->
+        merge) into one XLA program per image shape: the eager per-stage
+        version costs ~56 dispatches per frame, which dominates tracking
+        latency on remote TPU backends.
+        """
         cfg = self.cfg
         capacity = capacity or cfg.n_features + cfg.n_levels * 16
+        if self.octree == "host":
+            return self._extract(img, capacity)
+        key = (img.shape, capacity)
+        fn = self._jits.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._extract, capacity=capacity))
+            self._jits[key] = fn
+        return fn(img)
+
+    def _extract(self, img: jnp.ndarray, capacity: int) -> Features:
+        cfg = self.cfg
         pyr = compute_pyramid(img, cfg.n_levels, cfg.scale_factor)
 
         per_level = []
