@@ -23,6 +23,8 @@ the host runs a thin scheduler replacing the reference's thread/mutex fabric
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # TPU f32 matmuls default to one-pass bf16 operand rounding, which is
@@ -32,4 +34,14 @@ import jax as _jax
 # f32-effective precision for f32 matmuls; hot paths that want the MXU's
 # fast path (BRIEF one-hot contractions, bit-plane Hamming) pass
 # explicit bf16 operands and are unaffected by this flag.
-_jax.config.update("jax_default_matmul_precision", "highest")
+#
+# This is a process-global knob, so the override is polite: it applies
+# only when nobody has configured the flag (jax default: None), and can
+# be suppressed entirely with EXTRACTORB_TPU_NO_PRECISION_OVERRIDE=1 —
+# but then the extraction-parity guarantees (bitwise cv2-equal blur /
+# descriptors) no longer hold on TPU.
+if (
+    _os.environ.get("EXTRACTORB_TPU_NO_PRECISION_OVERRIDE", "0") != "1"
+    and _jax.config.jax_default_matmul_precision is None
+):
+    _jax.config.update("jax_default_matmul_precision", "highest")

@@ -166,7 +166,9 @@ class LoopCloser:
                 # next keyframe (reference bLoopDetectedInKF skips the
                 # fresh BoW detection, LoopClosing.cc:360)
                 return False
-            else:
+            elif self._pending is not None:
+                # (_refine_pending clears _pending itself when the
+                # hypothesis keyframes were culled from the map)
                 self._pending.n_not_found += 1
                 if self._pending.n_not_found >= 2:
                     self._pending = None
@@ -696,11 +698,16 @@ class LoopCloser:
             from . import local_mapping as lm
 
             kf_ids = sorted(mp.keyframes.keys())
+            # size the problem from the map so run_ba's fixed-capacity
+            # truncation never silently drops points/observations
+            n_pts = int(mp.mp_valid[: mp._next_mp].sum())
+            n_obs = sum(len(o) for o in mp.obs.values())
             lm.run_ba(
                 mp, kf_ids, fixed_ids={kf_ids[0]}, project=self.project,
                 inv_sigma2=self.inv_sigma2
                 if self.inv_sigma2 is not None else [1.0] * 8,
                 n_iters=10,
+                max_points=max(8192, n_pts), max_obs=max(32768, n_obs),
             )
         mp.version += 1
 

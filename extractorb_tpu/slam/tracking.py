@@ -327,13 +327,15 @@ class Tracker:
                 self.imu_queue.drop_before(float("inf"))
             self._reset_map()
             return True
-        if ts > last_ts + 1.0:
-            if self.inertial:
-                mp = self.atlas.current
-                if mp.imu_initialized and mp.imu_ba2:
-                    self._reset_map()          # CreateMapInAtlas
-                else:
-                    self._reset_active_map()   # ResetActiveMap
+        if ts > last_ts + 1.0 and self.inertial:
+            # Only inertial runs reset/fork on a gap (preintegrating
+            # across it is meaningless); visual-only frames are processed
+            # normally, like the reference.
+            mp = self.atlas.current
+            if mp.imu_initialized and mp.imu_ba2:
+                self._reset_map()          # CreateMapInAtlas
+            else:
+                self._reset_active_map()   # ResetActiveMap
             return True
         return False
 
@@ -869,7 +871,7 @@ class Tracker:
         # (version counter constant), so the padded local-point blocks
         # from the previous frame are reused instead of re-uploading
         # ~0.6 MB over the device link every frame.
-        cache_key = (id(mp), mp.version, self.ref_kf)
+        cache_key = (mp.mid, mp.version, self.ref_kf)
         cached = getattr(self, "_local_map_cache", None)
         M = 4096
         if cached is not None and cached[0] == cache_key:
