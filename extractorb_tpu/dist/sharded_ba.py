@@ -2,16 +2,24 @@
 
 The TPU-native replacement for what the reference cannot do at all:
 global BA sharded across chips (SURVEY.md §5.7-5.8 and the BASELINE
-north star).  Observations (the dominant axis: |O| >> |K|+|P|) are
-sharded over the mesh; every device evaluates residual/Jacobian products
-for its shard and the camera/landmark normal-equation accumulations are
-reduced with psum over ICI.  Poses and points are replicated (the
-camera-system blocks a Schur solver would reduce are exactly these psum
-operands); sharding the landmark blocks themselves over the mesh is the
-next refinement.
+north star).  Two schemes:
 
-The LM/PCG structure is identical to solver/ba.py — same fixed point —
-so single-chip and multi-chip paths are interchangeable.
+- ``optimize_sharded``: observations sharded, poses+points replicated,
+  joint-PCG psum-reduced per CG iteration.  Simple, but the psum
+  operands include the (P,3) landmark vectors, so collective traffic
+  grows with map size.
+
+- ``optimize_schur_sharded`` (the engine's GBA path): LANDMARKS and
+  their observations are sharded over the mesh; each device eliminates
+  its own landmark blocks with batched 3x3 inverses (the Schur trade of
+  reference Optimizer.cc:5026 Marginalize, re-expressed for TPU
+  regularity) and only the REDUCED camera system — (K,6) vectors and
+  (K,6,6) block diagonals — ever rides the ICI psum.  Per-device memory
+  scales ~1/d in points and observations; per-CG-iteration collective
+  traffic is independent of map size.
+
+The LM structure matches solver/ba.py — same fixed point — so the
+single-chip and multi-chip paths are interchangeable.
 """
 
 from __future__ import annotations
@@ -238,3 +246,292 @@ def _make_run(mesh, project, n_iters, cg_iters, use_huber, axis):
         return R, t, points, inliers, cost
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Landmark-sharded Schur-complement BA (the engine's distributed GBA)
+# ---------------------------------------------------------------------------
+
+
+def optimize_schur_sharded(
+    mesh: Mesh,
+    p: BAProblem,
+    project,
+    n_iters: int = 10,
+    cg_iters: int = 20,
+    use_huber: bool = True,
+    axis: str = "shard",
+) -> BAResult:
+    """LM bundle adjustment with landmarks + observations sharded.
+
+    Requirements (the host-side builder in dist/global_ba.py arranges
+    both):
+    - p.points / p.fixed_mp lengths divisible by the mesh size, with
+      each observation's point living on the observation's shard;
+    - p.obs_* lengths divisible by the mesh size, with obs_mp indexing
+      points GLOBALLY (the shard offset is subtracted device-side).
+
+    Returns the replicated poses and the globally re-assembled points/
+    inlier mask (same BAResult as the single-device solver).
+    """
+    n_dev = mesh.shape[axis]
+    O = p.obs_kf.shape[0]
+    Pn = p.points.shape[0]
+    assert O % n_dev == 0 and Pn % n_dev == 0, (O, Pn, n_dev)
+
+    run = _make_schur_run(mesh, project, n_iters, cg_iters, use_huber, axis)
+
+    shd = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    args = (
+        jax.device_put(p.R, rep), jax.device_put(p.t, rep),
+        jax.device_put(p.points, shd),
+        jax.device_put(p.obs_kf, shd), jax.device_put(p.obs_mp, shd),
+        jax.device_put(p.obs_uv, shd), jax.device_put(p.inv_sigma2, shd),
+        jax.device_put(p.obs_valid, shd),
+        jax.device_put(p.fixed_kf, rep), jax.device_put(p.fixed_mp, shd),
+    )
+    R, t, points, inliers, cost = run(*args)
+    return BAResult(R=R, t=t, points=points, inliers=inliers, cost=cost)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_schur_run(mesh, project, n_iters, cg_iters, use_huber, axis):
+    """Build + jit the landmark-sharded Schur LM program once per
+    (mesh, config) — see _make_run for why the cache matters."""
+    n_dev = mesh.shape[axis]
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),                    # R, t (replicated)
+            P(axis),                     # points (sharded)
+            P(axis), P(axis), P(axis), P(axis), P(axis),   # obs shards
+            P(), P(axis),                # fixed_kf, fixed_mp
+        ),
+        out_specs=(P(), P(), P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    def run(R, t, points, obs_kf, obs_mp, obs_uv, inv_sigma2, obs_valid,
+            fixed_kf, fixed_mp):
+        K = R.shape[0]
+        Ps = points.shape[0]            # LOCAL landmark count
+        dtype = points.dtype
+        free_kf = (~fixed_kf).astype(dtype)[:, None]
+        free_mp = (~fixed_mp).astype(dtype)[:, None]
+        # global -> local landmark ids for this shard
+        shard_id = jax.lax.axis_index(axis)
+        obs_mp_l = obs_mp - shard_id * Ps
+
+        def build(R, t, pts):
+            shard = BAProblem(
+                R=R, t=t, points=pts, obs_kf=obs_kf, obs_mp=obs_mp_l,
+                obs_uv=obs_uv, inv_sigma2=inv_sigma2, obs_valid=obs_valid,
+                fixed_kf=fixed_kf, fixed_mp=fixed_mp,
+            )
+            r, Jp, Jl = _obs_residual_jac(R, t, pts, shard, project)
+            chi2 = jnp.sum(r * r, -1) * inv_sigma2
+            w = huber_weight(chi2, DELTA_MONO) if use_huber \
+                else jnp.ones_like(chi2)
+            w = w * inv_sigma2 * obs_valid.astype(dtype)
+            return r, Jp, Jl, w
+
+        def lm_step(state, _):
+            R, t, points, lam = state
+            r, Jp, Jl, w = build(R, t, points)
+            Jpw = Jp * w[:, None, None]
+            Jlw = Jl * w[:, None, None]
+
+            # right-hand sides b = J^T W r
+            bp = jax.lax.psum(
+                jnp.zeros((K, 6), dtype).at[obs_kf].add(
+                    jnp.einsum("oif,oi->of", Jpw, r)
+                ), axis,
+            ) * free_kf
+            bl = jnp.zeros((Ps, 3), dtype).at[obs_mp_l].add(
+                jnp.einsum("oif,oi->of", Jlw, r)
+            ) * free_mp                                     # local
+
+            # landmark elimination: batched 3x3 inverses of the damped
+            # local Hll blocks (reference Marginalize semantics,
+            # Optimizer.cc:5026, block-diagonal case)
+            Hll = jnp.zeros((Ps, 3, 3), dtype).at[obs_mp_l].add(
+                jnp.einsum("oif,oig->ofg", Jlw, Jl)
+            )
+            Ml = jnp.linalg.inv(Hll + lam * jnp.eye(3, dtype=dtype)[None])
+
+            # camera block diagonal (psum once per LM iteration)
+            Hpp = jax.lax.psum(
+                jnp.zeros((K, 6, 6), dtype).at[obs_kf].add(
+                    jnp.einsum("oif,oig->ofg", Jpw, Jp)
+                ), axis,
+            )
+            Mp = jnp.linalg.inv(Hpp + lam * jnp.eye(6, dtype=dtype)[None])
+
+            def wt_v(v):
+                """W^T v: (K,6) pose vector -> local (Ps,3) landmark."""
+                u = jnp.einsum("oif,of->oi", Jp, v[obs_kf]) * w[:, None]
+                return jnp.zeros((Ps, 3), dtype).at[obs_mp_l].add(
+                    jnp.einsum("oif,oi->of", Jl, u)
+                ) * free_mp
+
+            def w_y(y):
+                """W y: local (Ps,3) landmark -> psum-reduced (K,6)."""
+                u = jnp.einsum("oif,of->oi", Jl, y[obs_mp_l]) * w[:, None]
+                return jax.lax.psum(
+                    jnp.zeros((K, 6), dtype).at[obs_kf].add(
+                        jnp.einsum("oif,oi->of", Jp, u)
+                    ), axis,
+                ) * free_kf
+
+            def schur_mv(v):
+                """(Hpp + lam - W (Hll+lam)^-1 W^T) v, psum-reduced."""
+                v = v * free_kf
+                hv = jnp.einsum("kfg,kg->kf", Hpp, v) * free_kf
+                y = jnp.einsum("pfg,pg->pf", Ml, wt_v(v))
+                return hv + lam * v - w_y(y)
+
+            # reduced RHS: bp - W Hll^-1 bl
+            b_red = bp - w_y(jnp.einsum("pfg,pg->pf", Ml, bl))
+
+            # PCG on the reduced camera system (collective traffic per
+            # iteration: one (K,6) psum inside schur_mv)
+            def precond(v):
+                return jnp.einsum("kfg,kg->kf", Mp, v) * free_kf
+
+            x = jnp.zeros((K, 6), dtype)
+            rr = b_red
+            z = precond(rr)
+            pdir = z
+            rz = jnp.sum(rr * z)
+
+            def cg_body(carry, _):
+                x, rr, pdir, rz = carry
+                Ap = schur_mv(pdir)
+                alpha = rz / jnp.maximum(jnp.sum(pdir * Ap), 1e-20)
+                x = x + alpha * pdir
+                rr = rr - alpha * Ap
+                z = precond(rr)
+                rz_new = jnp.sum(rr * z)
+                beta = rz_new / jnp.maximum(rz, 1e-20)
+                pdir = z + beta * pdir
+                return (x, rr, pdir, rz_new), None
+
+            (x, _, _, _), _ = jax.lax.scan(
+                cg_body, (x, rr, pdir, rz), None, length=cg_iters
+            )
+            dp = -x
+            # back-substitute the local landmarks:
+            # dl = -(Hll+lam)^-1 (bl - W^T dp)   [dp already negated]
+            dl = -jnp.einsum("pfg,pg->pf", Ml, bl - wt_v(-dp)) * free_mp
+
+            dR, dt = jax.vmap(lie.se3_exp)(dp * free_kf)
+            Rn = R @ dR
+            tn = jnp.einsum("kij,kj->ki", R, dt) + t
+            pn = points + dl
+
+            def cost(Rc, tc, pc):
+                shard = BAProblem(
+                    R=Rc, t=tc, points=pc, obs_kf=obs_kf, obs_mp=obs_mp_l,
+                    obs_uv=obs_uv, inv_sigma2=inv_sigma2,
+                    obs_valid=obs_valid, fixed_kf=fixed_kf,
+                    fixed_mp=fixed_mp,
+                )
+                r2, _, _ = _obs_residual_jac(Rc, tc, pc, shard, project)
+                c2 = jnp.sum(r2 * r2, -1) * inv_sigma2
+                if use_huber:
+                    d2 = DELTA_MONO * DELTA_MONO
+                    rho = jnp.where(
+                        c2 <= d2, c2, 2.0 * DELTA_MONO * jnp.sqrt(c2) - d2
+                    )
+                else:
+                    rho = c2
+                return jax.lax.psum(
+                    jnp.sum(jnp.where(obs_valid, rho, 0.0)), axis
+                )
+
+            c_new = cost(Rn, tn, pn)
+            c_old = cost(R, t, points)
+            better = c_new < c_old
+            R = jnp.where(better, Rn, R)
+            t = jnp.where(better, tn, t)
+            points = jnp.where(better, pn, points)
+            lam = jnp.where(better, lam * 0.5, lam * 4.0)
+            return (R, t, points, lam), None
+
+        lam0 = jnp.asarray(1e-4, dtype)
+        state, _ = jax.lax.scan(
+            lm_step, (R, t, points, lam0), None, length=n_iters
+        )
+        R, t, points, _ = state
+        shard = BAProblem(
+            R=R, t=t, points=points, obs_kf=obs_kf, obs_mp=obs_mp_l,
+            obs_uv=obs_uv, inv_sigma2=inv_sigma2, obs_valid=obs_valid,
+            fixed_kf=fixed_kf, fixed_mp=fixed_mp,
+        )
+        r, _, _ = _obs_residual_jac(R, t, points, shard, project)
+        chi2 = jnp.sum(r * r, -1) * inv_sigma2
+        inliers = obs_valid & (chi2 <= CHI2_MONO)
+        cost = jax.lax.psum(jnp.sum(jnp.where(obs_valid, chi2, 0.0)), axis)
+        return R, t, points, inliers, cost
+
+    return run
+
+
+def relayout_for_schur(p: BAProblem, n_dev: int, block: int = 128) -> BAProblem:
+    """Re-arrange an arbitrary BAProblem into the landmark-sharded layout
+    optimize_schur_sharded requires: points padded to a multiple of
+    n_dev, observations grouped by their point's shard with per-shard
+    padding (obs_valid=False), obs_mp global.  Drops pre-existing
+    padding observations."""
+    import numpy as np
+
+    obs_kf = np.asarray(p.obs_kf)
+    obs_mp = np.asarray(p.obs_mp)
+    obs_uv = np.asarray(p.obs_uv)
+    osig = np.asarray(p.inv_sigma2)
+    oval = np.asarray(p.obs_valid)
+    Pn = p.points.shape[0]
+    Ps = -(-Pn // n_dev)
+    P_pad = Ps * n_dev
+    pts = np.zeros((P_pad, 3), np.float32)
+    pts[:, 2] = 1.0
+    pts[:Pn] = np.asarray(p.points)
+    fixed_mp = np.ones(P_pad, bool)
+    fixed_mp[:Pn] = np.asarray(p.fixed_mp)
+
+    keep = oval
+    obs_kf, obs_mp = obs_kf[keep], obs_mp[keep]
+    obs_uv, osig = obs_uv[keep], osig[keep]
+    shard_of = obs_mp // Ps
+    order = np.argsort(shard_of, kind="stable")
+    obs_kf, obs_mp = obs_kf[order], obs_mp[order]
+    obs_uv, osig, shard_of = obs_uv[order], osig[order], shard_of[order]
+    counts = np.bincount(shard_of, minlength=n_dev)
+    Os = int(np.ceil(max(int(counts.max()), 1) / block) * block)
+    O_pad = Os * n_dev
+    okf = np.zeros(O_pad, np.int32)
+    omp = np.zeros(O_pad, np.int32)
+    ouv = np.zeros((O_pad, 2), np.float32)
+    osg = np.ones(O_pad, np.float32)
+    ovl = np.zeros(O_pad, bool)
+    start = 0
+    for s in range(n_dev):
+        n = int(counts[s])
+        dst = s * Os
+        okf[dst:dst + n] = obs_kf[start:start + n]
+        omp[dst:dst + n] = obs_mp[start:start + n]
+        ouv[dst:dst + n] = obs_uv[start:start + n]
+        osg[dst:dst + n] = osig[start:start + n]
+        ovl[dst:dst + n] = True
+        omp[dst + n:dst + Os] = s * Ps
+        start += n
+    return BAProblem(
+        R=p.R, t=p.t, points=jnp.asarray(pts),
+        obs_kf=jnp.asarray(okf), obs_mp=jnp.asarray(omp),
+        obs_uv=jnp.asarray(ouv), inv_sigma2=jnp.asarray(osg),
+        obs_valid=jnp.asarray(ovl), fixed_kf=p.fixed_kf,
+        fixed_mp=jnp.asarray(fixed_mp),
+    )

@@ -50,19 +50,29 @@ def run_ba(
     pt_ids = mp.points_seen_by(opt_ids)[:max_points]
     if len(pt_ids) < 8:
         return
-    pt_index = {int(p): i for i, p in enumerate(pt_ids)}
 
-    obs_kf, obs_mp, obs_uv, obs_sig = [], [], [], []
-    for p in pt_ids:
-        for kf_id, kp in mp.obs.get(int(p), {}).items():
-            if kf_id not in kf_index:
-                continue
-            kf = mp.keyframes[kf_id]
-            obs_kf.append(kf_index[kf_id])
-            obs_mp.append(pt_index[int(p)])
-            obs_uv.append(kf.xy_un[kp])
-            lvl = int(np.clip(kf.octave[kp], 0, len(inv_sigma2) - 1))
-            obs_sig.append(inv_sigma2[lvl])
+    # vectorized observation gather: iterate keyframes (few dozen), not
+    # observations (up to 10^5 python dict hits for a global BA)
+    lookup = np.full(len(mp.mp_valid), -1, np.int32)
+    lookup[pt_ids] = np.arange(len(pt_ids), dtype=np.int32)
+    inv_s = np.asarray(inv_sigma2, np.float32)
+    okf_l, omp_l, ouv_l, osig_l = [], [], [], []
+    for ki, kf_id in enumerate(kf_ids):
+        kf = mp.keyframes[kf_id]
+        rows = np.where(kf.kp_mp >= 0)[0]
+        pidx = lookup[kf.kp_mp[rows]]
+        keep = pidx >= 0
+        rows, pidx = rows[keep], pidx[keep]
+        okf_l.append(np.full(len(rows), ki, np.int32))
+        omp_l.append(pidx.astype(np.int32))
+        ouv_l.append(kf.xy_un[rows])
+        osig_l.append(inv_s[np.clip(kf.octave[rows], 0, len(inv_s) - 1)])
+    obs_kf = np.concatenate(okf_l) if okf_l else np.zeros(0, np.int32)
+    obs_mp = np.concatenate(omp_l) if omp_l else np.zeros(0, np.int32)
+    obs_uv = (
+        np.concatenate(ouv_l, 0) if ouv_l else np.zeros((0, 2), np.float32)
+    )
+    obs_sig = np.concatenate(osig_l) if osig_l else np.zeros(0, np.float32)
     if len(obs_kf) < 16:
         return
     O = min(len(obs_kf), max_obs)
@@ -103,10 +113,10 @@ def run_ba(
     ouv = np.zeros((Op, 2), np.float32)
     osig = np.ones(Op, np.float32)
     oval = np.zeros(Op, bool)
-    okf[:O] = np.asarray(obs_kf[:O], np.int32)
-    omp[:O] = np.asarray(obs_mp[:O], np.int32)
-    ouv[:O] = np.asarray(obs_uv[:O], np.float32)
-    osig[:O] = np.asarray(obs_sig[:O], np.float32)
+    okf[:O] = obs_kf[:O]
+    omp[:O] = obs_mp[:O]
+    ouv[:O] = obs_uv[:O]
+    osig[:O] = obs_sig[:O]
     oval[:O] = True
 
     prob = sba.BAProblem(
@@ -404,26 +414,27 @@ class LocalMapper:
             kp_rows = np.where(kf.kp_mp >= 0)[0]
             if len(kp_rows) < 10:
                 continue
-            n_redundant = 0
-            n_pts = 0
-            for kp in kp_rows:
-                p = int(kf.kp_mp[kp])
-                if not mp.mp_valid[p]:
+            ids = kf.kp_mp[kp_rows]
+            ok = mp.mp_valid[ids]
+            kp_rows, ids = kp_rows[ok], ids[ok]
+            n_pts = len(ids)
+            if n_pts == 0:
+                continue
+            lvls = kf.octave[kp_rows].astype(np.int32)
+            lookup = np.full(len(mp.mp_valid), -1, np.int32)
+            lookup[ids] = np.arange(n_pts, dtype=np.int32)
+            n_better = np.zeros(n_pts, np.int32)
+            for okf_id, okf in mp.keyframes.items():
+                if okf_id == cand:
                     continue
-                n_pts += 1
-                lvl = int(kf.octave[kp])
-                n_better = 0
-                for okf_id, okp in mp.obs.get(p, {}).items():
-                    if okf_id == cand:
-                        continue
-                    okf = mp.keyframes.get(okf_id)
-                    if okf is not None and int(okf.octave[okp]) <= lvl + 1:
-                        n_better += 1
-                        if n_better >= 3:
-                            break
-                if n_better >= 3:
-                    n_redundant += 1
-            if n_pts > 0 and n_redundant > 0.9 * n_pts:
+                orows = np.where(okf.kp_mp >= 0)[0]
+                pidx = lookup[okf.kp_mp[orows]]
+                keep = pidx >= 0
+                orows, pidx = orows[keep], pidx[keep]
+                fine = okf.octave[orows] <= lvls[pidx] + 1
+                np.add.at(n_better, pidx[fine], 1)
+            n_redundant = int((n_better >= 3).sum())
+            if n_redundant > 0.9 * n_pts:
                 self._remove_keyframe(mp, cand)
 
     def _remove_keyframe(self, mp: SLAMMap, kf_id: int):

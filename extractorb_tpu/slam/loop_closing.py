@@ -692,24 +692,29 @@ class LoopCloser:
         mp.keyframes[kf_id].loop_edges.append(cand_id)
         mp.keyframes[cand_id].loop_edges.append(kf_id)
 
-        # 8. bounded full-map BA (the GBA analog, LoopClosing.cc:2430):
-        # only for small maps like the reference's <200-KF gate
-        if len(mp.keyframes) < self.th.gba_max_kfs:
-            from . import local_mapping as lm
-
-            kf_ids = sorted(mp.keyframes.keys())
-            # size the problem from the map so run_ba's fixed-capacity
-            # truncation never silently drops points/observations
-            n_pts = int(mp.mp_valid[: mp._next_mp].sum())
-            n_obs = sum(len(o) for o in mp.obs.values())
-            lm.run_ba(
-                mp, kf_ids, fixed_ids={kf_ids[0]}, project=self.project,
-                inv_sigma2=self.inv_sigma2
-                if self.inv_sigma2 is not None else [1.0] * 8,
-                n_iters=10,
-                max_points=max(8192, n_pts), max_obs=max(32768, n_obs),
-            )
+        # 8. full-map GBA (reference RunGlobalBundleAdjustment,
+        # LoopClosing.cc:2430).  Visual maps run the landmark-sharded
+        # Schur BA over every available device (dist/global_ba.py) — no
+        # size gate: problem capacity scales with the mesh.  Inertial
+        # maps run FullInertialBA like the reference (:2430+8 branch).
+        self._run_gba(mp)
         mp.version += 1
+
+    def _run_gba(self, mp: SLAMMap):
+        if self.imu_calib is not None and mp.imu_initialized:
+            from . import imu_frontend
+
+            imu_frontend.full_inertial_ba(
+                mp, self.imu_calib, self.project, n_iters=7,
+            )
+            return
+        from ..dist import global_ba
+
+        global_ba.run_global_ba(
+            mp, self.project,
+            self.inv_sigma2 if self.inv_sigma2 is not None else [1.0] * 8,
+            n_iters=10,
+        )
 
     def _optimize_essential_graph(self, mp: SLAMMap, kf_id: int,
                                   cand_id: int, window: List[int],
@@ -782,6 +787,29 @@ class LoopCloser:
         E = len(edges)
         if E == 0:
             return
+        # Inertial maps: gravity direction is observable, so the graph
+        # must not roll/pitch/rescale the world — route through the
+        # 4-DoF (yaw + translation) essential graph like the reference
+        # (Optimizer.cc:8153 OptimizeEssentialGraph4DoF, called at
+        # LoopClosing.cc:1013+206-211 when the map is inertial).
+        if self.imu_calib is not None and mp.imu_initialized:
+            prob4 = pg.PoseGraph4DoFProblem(
+                R=jnp.asarray(Rs), t=jnp.asarray(ts),
+                edge_i=jnp.asarray(np.array([e[0] for e in edges], np.int32)),
+                edge_j=jnp.asarray(np.array([e[1] for e in edges], np.int32)),
+                m_R=jnp.asarray(np.stack([e[2] for e in edges])),
+                m_t=jnp.asarray(np.stack([e[3] for e in edges])),
+                weight=jnp.asarray(np.array([e[5] for e in edges],
+                                            np.float32)),
+                edge_valid=jnp.ones(E, bool),
+                fixed=jnp.asarray(np.array([k == cand_id for k in kf_ids])),
+            )
+            R4, t4 = pg.optimize_pose_graph_4dof(prob4, n_iters=15)[:2]
+            R_new = np.asarray(R4)
+            t_new = np.asarray(t4)
+            s_new = np.ones(K, np.float32)
+            self._apply_graph_result(mp, kf_ids, index, R_new, t_new, s_new)
+            return
         prob = pg.PoseGraphProblem(
             R=jnp.asarray(Rs), t=jnp.asarray(ts), s=jnp.asarray(ss),
             edge_i=jnp.asarray(np.array([e[0] for e in edges], np.int32)),
@@ -798,12 +826,16 @@ class LoopCloser:
         R_new, t_new, s_new, _ = pg.optimize_pose_graph(
             prob, n_iters=15, fix_scale=self.fix_scale
         )
-        R_new = np.asarray(R_new)
-        t_new = np.asarray(t_new)
-        s_new = np.asarray(s_new)
+        self._apply_graph_result(
+            mp, kf_ids, index,
+            np.asarray(R_new), np.asarray(t_new), np.asarray(s_new),
+        )
 
-        # correct map points through their reference keyframe (reference
-        # Optimizer.cc:2303 tail: p' = S_new^-1 (S_old p))
+    def _apply_graph_result(self, mp: SLAMMap, kf_ids, index,
+                            R_new, t_new, s_new):
+        """Write back optimised graph poses and correct map points
+        through their reference keyframe (reference Optimizer.cc:2303
+        tail: p' = S_new^-1 (S_old p))."""
         by_ref: Dict[int, List[int]] = {}
         for p in np.where(mp.mp_valid[: mp._next_mp])[0]:
             o = mp.obs.get(int(p))

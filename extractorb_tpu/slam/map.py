@@ -238,14 +238,20 @@ class SLAMMap:
                             ) -> List[Tuple[int, int]]:
         """(neighbor_kf, shared-point count), strongest first (reference
         KeyFrame::UpdateConnections, weight>=15 with strongest forced)."""
-        counts: Dict[int, int] = {}
         kf = self.keyframes[kf_id]
-        for mp in kf.kp_mp:
-            if mp < 0:
+        own = kf.kp_mp[kf.kp_mp >= 0]
+        if len(own) == 0:
+            return []
+        mask = np.zeros(len(self.mp_valid), bool)
+        mask[own] = True
+        counts: Dict[int, int] = {}
+        for other_id, other in self.keyframes.items():
+            if other_id == kf_id:
                 continue
-            for other in self.obs.get(int(mp), {}):
-                if other != kf_id:
-                    counts[other] = counts.get(other, 0) + 1
+            om = other.kp_mp[other.kp_mp >= 0]
+            c = int(mask[om].sum()) if len(om) else 0
+            if c:
+                counts[other_id] = c
         pairs = sorted(counts.items(), key=lambda it: -it[1])
         out = [p for p in pairs if p[1] >= min_weight]
         if not out and pairs:
@@ -253,13 +259,14 @@ class SLAMMap:
         return out
 
     def points_seen_by(self, kf_ids) -> np.ndarray:
-        s = set()
-        for kid in kf_ids:
-            kf = self.keyframes.get(kid)
-            if kf is None:
-                continue
-            s.update(int(m) for m in kf.kp_mp if m >= 0)
-        return np.asarray(sorted(s), np.int32)
+        arrs = [
+            kf.kp_mp[kf.kp_mp >= 0]
+            for kf in (self.keyframes.get(k) for k in kf_ids)
+            if kf is not None
+        ]
+        if not arrs:
+            return np.zeros(0, np.int32)
+        return np.unique(np.concatenate(arrs)).astype(np.int32)
 
 
 class Atlas:

@@ -1,0 +1,324 @@
+"""Fused device-resident tracking step.
+
+The reference's per-frame hot path (Tracking.cc:1390-1907: extract ->
+TrackWithMotionModel's SearchByProjection + PoseOptimization ->
+TrackLocalMap's SearchLocalPoints + PoseOptimization) is a chain of
+dense stages whose only host decisions are success thresholds.  Running
+those stages as separate jit calls costs a device round trip each —
+~25 ms latency per dispatch on a tunneled TPU backend — which caps the
+whole engine at a few fps no matter how fast the kernels are.
+
+TPU design: the WHOLE chain is one XLA program.  Per ordinary frame the
+host does exactly
+
+    1 upload  (the camera image; pose prediction rides along, ~50 B)
+    1 dispatch
+    1 fetch   (pose + per-keypoint map-point ids + counters, ~10 KB)
+
+and every other input lives on device already: the previous frame's
+features/associations are the previous step's outputs, and the map is a
+device mirror (positions + validity) refreshed only when the map version
+changes (keyframe events).  Host python keeps only the state machine and
+bookkeeping, exactly the split the reference runs on its Tracking
+thread.
+
+Programs are cached at module level keyed by the static configuration,
+so constructing a second System (or re-running a sequence) never
+retraces or recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ORBConfig
+from ..core.camera import KannalaBrandt8, Pinhole, undistort_points_pinhole
+from ..frontend import matcher as fm
+from ..frontend.extractor import Features, ORBExtractor
+from ..solver import pose_opt as spo
+
+# --------------------------------------------------------------- closures
+#
+# jit caches key on the identity of static callables: a projection
+# closure rebuilt per Tracker would retrace (seconds per program) every
+# downstream jit for every new System instance.  These module-level
+# caches make closures canonical per camera parameter set.
+
+
+@functools.lru_cache(maxsize=None)
+def pinhole_project(fx: float, fy: float, cx: float, cy: float):
+    """Canonical pinhole projection closure (camera frame (3,) -> (2,))."""
+
+    def project(pc):
+        return jnp.stack(
+            [fx * pc[0] / pc[2] + cx, fy * pc[1] / pc[2] + cy], -1
+        ).reshape(2)
+
+    return project
+
+
+@functools.lru_cache(maxsize=None)
+def kb8_project(fx: float, fy: float, cx: float, cy: float,
+                k1: float, k2: float, k3: float, k4: float):
+    """Canonical KB8 fisheye projection closure."""
+    cam = KannalaBrandt8(
+        jnp.float32(fx), jnp.float32(fy), jnp.float32(cx), jnp.float32(cy),
+        jnp.asarray([k1, k2, k3, k4], jnp.float32),
+    )
+
+    def project(pc):
+        return cam.project(pc).reshape(2)
+
+    return project
+
+
+def project_for_camera(cam_cfg):
+    """The canonical projection closure for a CameraConfig."""
+    if cam_cfg.model == "KannalaBrandt8":
+        return kb8_project(cam_cfg.fx, cam_cfg.fy, cam_cfg.cx, cam_cfg.cy,
+                           cam_cfg.k1, cam_cfg.k2, cam_cfg.k3, cam_cfg.k4)
+    return pinhole_project(cam_cfg.fx, cam_cfg.fy, cam_cfg.cx, cam_cfg.cy)
+
+
+# ------------------------------------------------------------ the program
+
+
+class FusedOut(NamedTuple):
+    feats: Features          # device, current frame (capacity N)
+    xy_un: jnp.ndarray       # (N,2) device undistorted coords
+    R: jnp.ndarray           # (3,3) final pose
+    t: jnp.ndarray           # (3,)
+    kp_mp: jnp.ndarray       # (N,) int32 final map-point id per keypoint
+    n_match_motion: jnp.ndarray   # () int32 motion-model match count
+    n_inl_motion: jnp.ndarray     # () int32 pose-opt-1 inliers
+    n_inl_final: jnp.ndarray      # () int32 pose-opt-2 inliers
+    lm_searched: jnp.ndarray      # (M,) bool local points actually searched
+
+
+class TrackStep:
+    """One compiled tracking step for a fixed static configuration."""
+
+    def __init__(self, cam_cfg, orb_cfg: ORBConfig, img_shape: Tuple[int, int],
+                 map_cap: int, local_cap: int):
+        self.cam_cfg = cam_cfg
+        self.orb_cfg = orb_cfg
+        self.img_shape = img_shape
+        self.map_cap = map_cap
+        self.local_cap = local_cap
+        self.extractor = ORBExtractor(orb_cfg, octree="device")
+        self.capacity = orb_cfg.n_features + orb_cfg.n_levels * 16
+        self.project = project_for_camera(cam_cfg)
+        self.is_fisheye = cam_cfg.model == "KannalaBrandt8"
+        self.has_dist = abs(cam_cfg.k1) > 1e-12 and not self.is_fisheye
+        self.cam = Pinhole.from_config(cam_cfg)
+        self.dist = jnp.asarray(
+            [cam_cfg.k1, cam_cfg.k2, cam_cfg.p1, cam_cfg.p2, cam_cfg.k3],
+            jnp.float32,
+        )
+        scales = np.empty(orb_cfg.n_levels, np.float32)
+        scales[0] = 1.0
+        for i in range(1, orb_cfg.n_levels):
+            scales[i] = np.float32(scales[i - 1] * np.float32(orb_cfg.scale_factor))
+        self.scale_factors = tuple(float(s) for s in scales)
+        self.inv_sigma2 = tuple(1.0 / float(s * s) for s in scales)
+        self.img_wh = (float(cam_cfg.width), float(cam_cfg.height))
+        self._fn = jax.jit(self._step)
+
+    # the traced body ---------------------------------------------------
+
+    def _step(
+        self,
+        img,                     # (H,W) uint8
+        last_xy_un,              # (N,2) previous frame undistorted coords
+        last_desc, last_oct, last_ang,   # previous frame features
+        last_kp_mp,              # (N,) int32 previous associations
+        map_pos, map_valid,      # (CAP,3) f32 / (CAP,) bool  device mirror
+        lm_ids, lm_pos, lm_desc, lm_norm, lm_maxd, lm_val,  # (M,...) local block
+        R_pred, t_pred,          # predicted pose (motion model)
+    ) -> FusedOut:
+        N = self.capacity
+        CAP = self.map_cap
+        inv_sig = jnp.asarray(self.inv_sigma2, jnp.float32)
+
+        feats = self.extractor._extract(img, self.capacity)
+        if self.has_dist:
+            xy_un = undistort_points_pinhole(feats.xy, self.cam, self.dist)
+        else:
+            xy_un = feats.xy
+
+        # ---- TrackWithMotionModel: search previous-frame points
+        # (reference ORBmatcher.cc:2028 region; matches vs the LAST
+        # frame's descriptors, like Tracking.cc:2469)
+        has_mp = last_kp_mp >= 0
+        safe_ids = jnp.clip(last_kp_mp, 0, CAP - 1)
+        prev_pos = map_pos[safe_ids]
+        prev_val = has_mp & map_valid[safe_ids]
+
+        def msearch(th):
+            return fm.search_by_projection_last_frame(
+                prev_pos, last_desc, prev_val, last_oct, last_ang,
+                R_pred, t_pred,
+                xy_un, feats.desc, feats.octave, feats.angle, feats.valid,
+                self.project, self.scale_factors, self.img_wh, th,
+            )
+
+        m15 = msearch(15.0)
+        n15 = jnp.sum((m15 >= 0).astype(jnp.int32))
+        # reference widens the window when <20 matches (Tracking.cc:2475)
+        m = jax.lax.cond(n15 >= 20, lambda: m15, lambda: msearch(30.0))
+        n_match = jnp.sum((m >= 0).astype(jnp.int32))
+
+        kp_mp0 = (
+            jnp.full((N,), -1, jnp.int32)
+            .at[jnp.where(m >= 0, m, N)]
+            .set(jnp.where(m >= 0, last_kp_mp, -1), mode="drop")
+        )
+
+        # ---- PoseOptimization #1 (reference Tracking.cc:2492)
+        isig = inv_sig[jnp.clip(feats.octave, 0, len(self.inv_sigma2) - 1)]
+        pts0 = map_pos[jnp.clip(kp_mp0, 0, CAP - 1)]
+        val0 = (kp_mp0 >= 0) & map_valid[jnp.clip(kp_mp0, 0, CAP - 1)]
+        res1 = spo.optimize_pose(
+            R_pred, t_pred, pts0, xy_un, isig, val0, self.project
+        )
+        kp_mp1 = jnp.where(val0 & ~res1.inliers, -1, kp_mp0)
+
+        # ---- TrackLocalMap: search the local-map block
+        # (reference SearchLocalPoints, Tracking.cc:2916)
+        taken = (
+            jnp.zeros((CAP + 1,), bool)
+            .at[jnp.where(kp_mp1 >= 0, kp_mp1, CAP)]
+            .set(True)[:CAP]
+        )
+        lm_already = taken[jnp.clip(lm_ids, 0, CAP - 1)]
+        lm_searched = lm_val & ~lm_already
+        kp_free = feats.valid & (kp_mp1 < 0)
+        m2 = fm.search_by_projection_local_map(
+            lm_pos, lm_desc, lm_searched, lm_norm, lm_maxd,
+            res1.R, res1.t,
+            xy_un, feats.desc, feats.octave, kp_free, None,
+            self.project, self.scale_factors, self.img_wh,
+        )
+        kp_mp2 = kp_mp1.at[jnp.where(m2 >= 0, m2, N)].set(
+            jnp.where(m2 >= 0, lm_ids, -1), mode="drop"
+        )
+
+        # ---- PoseOptimization #2 (reference Tracking.cc:2554)
+        pts2 = map_pos[jnp.clip(kp_mp2, 0, CAP - 1)]
+        val2 = (kp_mp2 >= 0) & map_valid[jnp.clip(kp_mp2, 0, CAP - 1)]
+        res2 = spo.optimize_pose(
+            res1.R, res1.t, pts2, xy_un, isig, val2, self.project
+        )
+        kp_mp3 = jnp.where(val2 & ~res2.inliers, -1, kp_mp2)
+
+        return FusedOut(
+            feats=feats, xy_un=xy_un, R=res2.R, t=res2.t, kp_mp=kp_mp3,
+            n_match_motion=n_match, n_inl_motion=res1.n_inliers,
+            n_inl_final=jnp.sum(val2 & res2.inliers), lm_searched=lm_searched,
+        )
+
+    def __call__(self, *args) -> FusedOut:
+        return self._fn(*args)
+
+
+# module-level program cache: a second Tracker/System with the same
+# configuration reuses traces AND compiled executables
+_STEP_CACHE = {}
+
+
+def get_track_step(cam_cfg, orb_cfg: ORBConfig, img_shape, map_cap: int,
+                   local_cap: int) -> TrackStep:
+    key = (cam_cfg, orb_cfg, tuple(img_shape), map_cap, local_cap)
+    step = _STEP_CACHE.get(key)
+    if step is None:
+        step = TrackStep(cam_cfg, orb_cfg, tuple(img_shape), map_cap,
+                         local_cap)
+        _STEP_CACHE[key] = step
+    return step
+
+
+# --------------------------------------------------------- device mirror
+
+
+class MapMirror:
+    """Device mirror of a map's point block (positions + validity).
+
+    Uploaded only when the map version changes (keyframe events), so
+    ordinary frames touch the device with zero map traffic.  Capacity is
+    padded to a static ladder so XLA programs never re-specialise when
+    the host arena grows.
+    """
+
+    LADDER = (32768, 65536, 131072, 262144)
+
+    def __init__(self):
+        self._key = None
+        self.cap = 0
+        self.pos = None
+        self.valid = None
+
+    @staticmethod
+    def _pad_cap(n: int) -> int:
+        for c in MapMirror.LADDER:
+            if n <= c:
+                return c
+        return int(np.ceil(n / MapMirror.LADDER[-1])) * MapMirror.LADDER[-1]
+
+    def sync(self, mp) -> None:
+        key = (mp.mid, mp.version)
+        if key == self._key:
+            return
+        cap = self._pad_cap(len(mp.mp_valid))
+        pos = np.zeros((cap, 3), np.float32)
+        valid = np.zeros((cap,), bool)
+        n = mp._next_mp
+        pos[: len(mp.mp_pos)] = mp.mp_pos
+        valid[:n] = mp.mp_valid[:n]
+        self.pos = jnp.asarray(pos)
+        self.valid = jnp.asarray(valid)
+        self.cap = cap
+        self._key = key
+
+
+class LocalBlock(NamedTuple):
+    ids: np.ndarray          # (M,) int32 map-point ids (host)
+    ids_dev: jnp.ndarray
+    pos: jnp.ndarray
+    desc: jnp.ndarray
+    norm: jnp.ndarray
+    maxd: jnp.ndarray
+    val: jnp.ndarray         # (M,) bool: in-block validity (host-known part)
+    val_host: np.ndarray
+
+
+def build_local_block(mp, local_kfs, M: int) -> Optional[LocalBlock]:
+    """Gather the local-map point block (reference UpdateLocalPoints,
+    Tracking.cc:3000) into fixed-capacity device arrays."""
+    pt_ids = mp.points_seen_by(local_kfs)
+    if len(pt_ids) == 0:
+        return None
+    pt_ids = pt_ids[:M]
+    k = len(pt_ids)
+    pos = np.zeros((M, 3), np.float32)
+    desc = np.zeros((M, 32), np.uint8)
+    norm = np.zeros((M, 3), np.float32)
+    maxd = np.ones((M,), np.float32)
+    val = np.zeros((M,), bool)
+    ids = np.zeros((M,), np.int32)
+    pos[:k] = mp.mp_pos[pt_ids]
+    desc[:k] = mp.mp_desc[pt_ids]
+    norm[:k] = mp.mp_normal[pt_ids]
+    maxd[:k] = mp.mp_max_dist[pt_ids]
+    val[:k] = mp.mp_valid[pt_ids]
+    ids[:k] = pt_ids
+    return LocalBlock(
+        ids=ids, ids_dev=jnp.asarray(ids), pos=jnp.asarray(pos),
+        desc=jnp.asarray(desc), norm=jnp.asarray(norm),
+        maxd=jnp.asarray(maxd), val=jnp.asarray(val), val_host=val,
+    )

@@ -30,7 +30,7 @@ from ..solver import ba as sba
 from ..solver import pnp
 from ..solver import pose_opt as spo
 from .map import INVALID, Atlas, KeyFrame, SLAMMap
-from . import imu_frontend, local_mapping
+from . import imu_frontend, local_mapping, track_device as td
 
 
 class TrackState(enum.Enum):
@@ -67,6 +67,30 @@ class Frame:
     ba: Optional[np.ndarray] = None
     preint_frame: Optional[object] = None   # from the previous frame
     preint_kf: Optional[object] = None      # from the last keyframe
+    # Device-resident bookkeeping for the fused tracking step
+    # (slam/track_device.py): undistorted coords and associations stay
+    # on device between frames; host copies are fetched on demand.
+    un_dev: Optional[object] = None         # (N,2) device undistorted xy
+    kp_mp_dev: Optional[object] = None      # (N,) device association ids
+    kp_mp_dirty: bool = False               # host kp_mp modified since fetch
+    host_ready: bool = True
+
+    def ensure_host(self):
+        """Materialise the host copies of the feature arrays (one
+        batched device fetch); no-op for eagerly-built frames."""
+        if self.host_ready:
+            return
+        un = self.un_dev if self.un_dev is not None else self.feats.xy
+        xy_un, octave, angle, desc, valid = jax.device_get(
+            (un, self.feats.octave, self.feats.angle, self.feats.desc,
+             self.feats.valid)
+        )
+        self.xy_un = np.asarray(xy_un, np.float32)
+        self.octave = np.asarray(octave)
+        self.angle = np.asarray(angle)
+        self.desc = np.asarray(desc)
+        self.valid = np.asarray(valid)
+        self.host_ready = True
 
 
 class Tracker:
@@ -88,21 +112,12 @@ class Tracker:
             # theta-polynomial model.
             from ..core.camera import KannalaBrandt8
 
-            kb8 = KannalaBrandt8.from_config(cam_cfg)
-            self.kb8 = kb8
-
-            def project(pc):
-                return kb8.project(pc).reshape(2)
-
+            self.kb8 = KannalaBrandt8.from_config(cam_cfg)
         else:
             self.kb8 = None
-
-            def project(pc):
-                return jnp.stack(
-                    [fx * pc[0] / pc[2] + cx, fy * pc[1] / pc[2] + cy], -1
-                ).reshape(2)
-
-        self.project = project
+        # canonical cached closure: jit programs keyed on it are shared
+        # across Tracker/System instances (no per-instance retracing)
+        self.project = td.project_for_camera(cam_cfg)
 
         # Stereo-fisheye rig (Camera2.* + Tlr): right camera + extrinsics
         # (reference: Tracking::ParseCamParamFile KB8 two-camera branch).
@@ -169,6 +184,11 @@ class Tracker:
         self._frames_lost = 0
         self._prev_kf_id = -1   # temporal predecessor for the IMU chain
 
+        # fused device tracking step (mono, non-inertial fast path)
+        self._mirror = td.MapMirror()
+        self._fused_local = None   # (key, LocalBlock) cache
+        self._fused_local_cap = 4096
+
         # inertial mode (reference: sensor IMU_MONOCULAR/IMU_STEREO)
         self.inertial = cfg.imu is not None and cfg.sensor.startswith("imu")
         self.imu_calib = None
@@ -209,6 +229,7 @@ class Tracker:
             desc=np.asarray(desc),
             valid=np.asarray(valid),
             kp_mp=np.full(feats.capacity, INVALID, np.int32),
+            un_dev=un_dev,
         )
         self._next_frame_id += 1
         return f
@@ -356,9 +377,118 @@ class Tracker:
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self._monocular_initialization(img, ts)
             return self.state
+        if self._fused_applicable():
+            st = self._track_fused(img, ts)
+            if st is not None:
+                return st
         frame = self._make_frame(img, ts)
         self._preintegrate(frame)
         return self._track_existing(frame, ts)
+
+    # --------------------------------------------------- fused fast path
+
+    def _fused_applicable(self) -> bool:
+        """The fused one-program step covers the common steady state:
+        monocular, non-inertial, OK with a motion model, previous frame
+        device-resident at the tracking capacity (the frame right after
+        initialisation comes from the 5x init extractor and takes the
+        legacy path once)."""
+        last = self.last_frame
+        return (
+            self.sensor == "monocular"
+            and not self.inertial
+            and self.state == TrackState.OK
+            and self.velocity is not None
+            and last is not None
+            and last.R is not None
+            and last.un_dev is not None
+            and last.feats.capacity
+            == self.cfg.orb.n_features + self.cfg.orb.n_levels * 16
+        )
+
+    def _track_fused(self, img: np.ndarray, ts: float):
+        """One-program frame step (slam/track_device.py): extract ->
+        motion-model search -> pose opt -> local-map search -> pose opt,
+        with one upload and one fetch.  Returns the new state, or None
+        to fall back to the legacy path before any work was done."""
+        mp = self.atlas.current
+        if self.ref_kf is None:
+            return None
+        if self.ref_kf not in mp.keyframes:  # culled by local mapping
+            if not mp.keyframes:
+                return None
+            self.ref_kf = max(mp.keyframes.keys())
+        self._mirror.sync(mp)
+        key = (mp.mid, mp.version, self.ref_kf)
+        if self._fused_local is None or self._fused_local[0] != key:
+            local_kfs = [self.ref_kf] + [
+                k for k, _ in
+                mp.covisible_keyframes(self.ref_kf, min_weight=1)[:10]
+            ]
+            blk = td.build_local_block(mp, local_kfs, self._fused_local_cap)
+            if blk is None:
+                return None
+            self._fused_local = (key, blk)
+        blk = self._fused_local[1]
+
+        step = td.get_track_step(
+            self.cfg.camera, self.cfg.orb, img.shape, self._mirror.cap,
+            self._fused_local_cap,
+        )
+        last = self.last_frame
+        R_pred, t_pred = self._predict_pose()
+        last_kp = (
+            last.kp_mp_dev
+            if last.kp_mp_dev is not None and not last.kp_mp_dirty
+            else jnp.asarray(last.kp_mp)
+        )
+        out = step(
+            jnp.asarray(img),
+            last.un_dev, last.feats.desc, last.feats.octave,
+            last.feats.angle, last_kp,
+            self._mirror.pos, self._mirror.valid,
+            blk.ids_dev, blk.pos, blk.desc, blk.norm, blk.maxd, blk.val,
+            jnp.asarray(R_pred), jnp.asarray(t_pred),
+        )
+        R, t, kp_mp, n_match, n1, n2, lm_searched = jax.device_get(
+            (out.R, out.t, out.kp_mp, out.n_match_motion, out.n_inl_motion,
+             out.n_inl_final, out.lm_searched)
+        )
+        frame = Frame(
+            frame_id=self._next_frame_id, timestamp=ts, feats=out.feats,
+            xy_un=None, octave=None, angle=None, desc=None, valid=None,
+            kp_mp=np.asarray(kp_mp).copy(), un_dev=out.xy_un,
+            kp_mp_dev=out.kp_mp, host_ready=False,
+        )
+        self._next_frame_id += 1
+        frame.R = np.asarray(R).copy()
+        frame.t = np.asarray(t).copy()
+
+        ok = int(n_match) >= 20 and int(n1) >= 10 and int(n2) >= 30
+        if not ok:
+            # rare: rerun the full legacy state machine on the
+            # already-extracted frame (reference falls back to
+            # TrackReferenceKeyFrame / relocalization)
+            frame.ensure_host()
+            last.ensure_host()
+            frame.R = frame.t = None
+            frame.kp_mp[:] = INVALID
+            frame.kp_mp_dirty = True
+            return self._track_existing(frame, ts)
+
+        # bookkeeping identical to the legacy OK path
+        mp.mp_visible[blk.ids[np.asarray(lm_searched)]] += 1
+        found = frame.kp_mp[frame.kp_mp >= 0]
+        mp.mp_found[found] += 1
+        self.state = TrackState.OK
+        self._frames_lost = 0
+        Rv = frame.R @ last.R.T
+        self.velocity = (Rv, frame.t - Rv @ last.t)
+        if self._need_new_keyframe(frame):
+            self._create_keyframe(frame)
+        self.last_frame = frame
+        self.trajectory.append((ts, frame.R.copy(), frame.t.copy()))
+        return self.state
 
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray, ts: float,
                      imu=None):
@@ -717,8 +847,11 @@ class Tracker:
             depth=None if f.depth is None else f.depth.copy(),
         )
         mp.add_keyframe(kf)
-        # share the association array so frame/keyframe stay consistent
+        # share the association array so frame/keyframe stay consistent;
+        # mapping/loop-closing mutate it on host, so the device copy of
+        # the associations is stale from here on
         f.kp_mp = kf.kp_mp
+        f.kp_mp_dirty = True
         return kf
 
     # ----------------------------------------------------------- tracking
@@ -1148,6 +1281,7 @@ class Tracker:
 
     def _create_keyframe(self, frame: Frame):
         mp = self.atlas.current
+        frame.ensure_host()
         kf = self._promote(frame, mp)
         self._attach_inertial(kf, frame)
         for kp in np.where(kf.kp_mp >= 0)[0]:

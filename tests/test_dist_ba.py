@@ -206,3 +206,98 @@ def test_sharded_loop_candidate_match(rng):
     counts = np.asarray(counts)
     assert int(np.argmax(counts)) == 11
     assert counts[11] >= N - 2
+
+
+def _relayout_for_schur(prob, n_dev=8, block=16):
+    """Re-order observations so each lives on its point's shard and pad
+    points/obs to mesh-divisible sizes (the dist/global_ba.py layout)."""
+    obs_kf = np.asarray(prob.obs_kf)
+    obs_mp = np.asarray(prob.obs_mp)
+    obs_uv = np.asarray(prob.obs_uv)
+    osig = np.asarray(prob.inv_sigma2)
+    oval = np.asarray(prob.obs_valid)
+    P = prob.points.shape[0]
+    Ps = -(-P // n_dev)
+    P_pad = Ps * n_dev
+    pts = np.zeros((P_pad, 3), np.float32)
+    pts[:, 2] = 1.0
+    pts[:P] = np.asarray(prob.points)
+    fixed_mp = np.ones(P_pad, bool)
+    fixed_mp[:P] = np.asarray(prob.fixed_mp)
+
+    shard_of = obs_mp // Ps
+    order = np.argsort(shard_of, kind="stable")
+    obs_kf, obs_mp, obs_uv = obs_kf[order], obs_mp[order], obs_uv[order]
+    osig, oval, shard_of = osig[order], oval[order], shard_of[order]
+    counts = np.bincount(shard_of[oval], minlength=n_dev)
+    # note: invalid (padding) obs from the original problem are dropped
+    keep = oval
+    obs_kf, obs_mp, obs_uv, osig = (
+        obs_kf[keep], obs_mp[keep], obs_uv[keep], osig[keep]
+    )
+    shard_of = shard_of[keep]
+    Os = int(np.ceil(max(int(counts.max()), 1) / block) * block)
+    O_pad = Os * n_dev
+    okf = np.zeros(O_pad, np.int32)
+    omp = np.zeros(O_pad, np.int32)
+    ouv = np.zeros((O_pad, 2), np.float32)
+    osg = np.ones(O_pad, np.float32)
+    ovl = np.zeros(O_pad, bool)
+    start = 0
+    for s in range(n_dev):
+        n = int(counts[s])
+        dst = s * Os
+        sel = slice(start, start + n)
+        okf[dst:dst + n] = obs_kf[sel]
+        omp[dst:dst + n] = obs_mp[sel]
+        ouv[dst:dst + n] = obs_uv[sel]
+        osg[dst:dst + n] = osig[sel]
+        ovl[dst:dst + n] = True
+        omp[dst + n:dst + Os] = s * Ps
+        start += n
+    return sba.BAProblem(
+        R=prob.R, t=prob.t, points=jnp.asarray(pts),
+        obs_kf=jnp.asarray(okf), obs_mp=jnp.asarray(omp),
+        obs_uv=jnp.asarray(ouv), inv_sigma2=jnp.asarray(osg),
+        obs_valid=jnp.asarray(ovl), fixed_kf=prob.fixed_kf,
+        fixed_mp=jnp.asarray(fixed_mp),
+    )
+
+
+def test_schur_sharded_matches_single(rng):
+    """The landmark-sharded Schur GBA converges to the single-device
+    solver's fixed point (poses close, cost comparable)."""
+    prob, _ = build_problem(rng)
+    res1 = sba.optimize(prob, project, n_iters=15, cg_iters=40)
+    mesh = dmesh.make_mesh(8)
+    sprob = _relayout_for_schur(prob, 8)
+    res8 = dba.optimize_schur_sharded(mesh, sprob, project, n_iters=15,
+                                      cg_iters=30)
+    # different inner linear solvers (joint PCG vs reduced-system PCG):
+    # same basin, near-identical costs, poses close
+    assert float(res8.cost) <= float(res1.cost) * 1.1 + 1.0
+    np.testing.assert_allclose(
+        np.asarray(res8.R), np.asarray(res1.R), atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(res8.t), np.asarray(res1.t), atol=1e-2
+    )
+
+
+def test_schur_sharded_reduces_error(rng):
+    prob, (Rs, ts, pts, obs_kf, obs_mp, obs_uv) = build_problem(rng)
+    mesh = dmesh.make_mesh(8)
+    sprob = _relayout_for_schur(prob, 8)
+    res = dba.optimize_schur_sharded(mesh, sprob, project, n_iters=10,
+                                     cg_iters=20)
+    R_out, t_out, p_out = map(np.asarray, (res.R, res.t, res.points))
+
+    def rms(R, t, points):
+        e = []
+        for o in range(len(obs_kf)):
+            pc = R[obs_kf[o]] @ points[obs_mp[o]] + t[obs_kf[o]]
+            uv = np.array([FX * pc[0] / pc[2] + CX, FY * pc[1] / pc[2] + CY])
+            e.append(((uv - obs_uv[o]) ** 2).sum())
+        return np.sqrt(np.mean(e))
+
+    assert rms(R_out, t_out, p_out) < 0.6
