@@ -42,6 +42,11 @@ class ORBConfig:
     # raw FAST can return far more before octree distribution.
     max_kps_per_level: int = 4096
 
+    # Keypoint distribution path: "device" (one-program XLA octree) or
+    # "host" (bit-exact DistributeOctTree, reference
+    # ORBextractor.cc:544-771); both produce the same spatial policy.
+    octree: str = "device"
+
     @property
     def scale_factors(self) -> Tuple[float, ...]:
         """Per-level scale factors (reference ORBextractor ctor :408-430)."""
@@ -135,6 +140,11 @@ class TrackingConfig:
     # Keyframe insertion: min frames between KFs etc.
     min_frames: int = 0
     max_frames: int = 30
+    # RECENTLY_LOST grace period in seconds before declaring LOST
+    # (reference Tracking.cc: time_recently_lost, set to 5 s in the
+    # constructor; visual-only runs use a shorter 3 s window at
+    # Tracking.cc:1576-1605).
+    time_recently_lost: float = 5.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,6 +63,14 @@ def _scale_factors(cfg: ORBConfig) -> np.ndarray:
     return s
 
 
+# Global program cache: jitted extraction programs are keyed on the
+# (frozen) config + image shape + capacity, NOT the ORBExtractor
+# instance, so a fresh Tracker/System reuses the already-traced-and-
+# compiled program instead of paying a multi-second retrace per
+# instance (the extractor's behaviour is a pure function of its cfg).
+_PROGRAM_CACHE: dict = {}
+
+
 class ORBExtractor:
     """Stateless orchestration object (caches static tables per level)."""
 
@@ -72,7 +80,6 @@ class ORBExtractor:
         self.octree = octree
         self.scales = _scale_factors(cfg)
         self.budgets = cfg.features_per_level
-        self._jits = {}
 
     def __call__(self, img: jnp.ndarray, capacity: Optional[int] = None) -> Features:
         """Extract ORB features from a uint8 grayscale image (H, W).
@@ -87,11 +94,11 @@ class ORBExtractor:
         capacity = capacity or cfg.n_features + cfg.n_levels * 16
         if self.octree == "host":
             return self._extract(img, capacity)
-        key = (img.shape, capacity)
-        fn = self._jits.get(key)
+        key = (cfg, self.octree, img.shape, capacity)
+        fn = _PROGRAM_CACHE.get(key)
         if fn is None:
             fn = jax.jit(functools.partial(self._extract, capacity=capacity))
-            self._jits[key] = fn
+            _PROGRAM_CACHE[key] = fn
         return fn(img)
 
     def _extract(self, img: jnp.ndarray, capacity: int) -> Features:

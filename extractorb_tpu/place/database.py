@@ -1,13 +1,23 @@
 """Keyframe database: BoW place-recognition queries.
 
 Replaces KeyFrameDatabase (reference: src/KeyFrameDatabase.cc:39 add,
-:612 DetectNBestCandidates, :783 DetectRelocalizationCandidates).
+:47 erase, :612 DetectNBestCandidates, :783
+DetectRelocalizationCandidates).
 
-TPU design: instead of a word->keyframe inverted file walked per query
-word, keyframe BoW histograms are rows of one dense (K, W) matrix, so a
-query is a single matvec on the MXU: L1 scores for ALL keyframes at
-once, followed by the reference's shared-word gating and
-covisibility-group accumulation on the selected candidates.
+Design: keyframe BoW vectors are stored SPARSE (per-KF sorted word ids
++ tf-idf weights, concatenated into one CSR arena), like the
+reference's DBoW2::BowVector maps — at real ORBvoc scale (k=10, L=6 ~
+1M words) a dense row would be ~4 MB/keyframe while the sparse entry is
+~8 KB.  A query densifies ONCE into an (n_words,) scratch vector and
+scores every stored keyframe with one gather + segment-sum over the
+arena: for L1-normalised vectors
+
+    score = 1 - 0.5 * |v - q|_1
+          = 0.5 * sum_{shared words} (v_i + q_i - |v_i - q_i|)
+
+so only shared-word entries contribute and the whole-database score is
+a single vectorized pass (the DBoW2 inverted-file trick, recast as
+array ops instead of per-word list walks).
 """
 
 from __future__ import annotations
@@ -20,58 +30,63 @@ import numpy as np
 class KeyFrameDatabase:
     def __init__(self, vocab, capacity: int = 512):
         self.vocab = vocab
-        self.capacity = capacity
-        self.hists = np.zeros((capacity, vocab.n_words), np.float32)
-        self.has_word = np.zeros((capacity, vocab.n_words), bool)
-        self.kf_ids = np.full(capacity, -1, np.int64)
-        self.rows: Dict[int, int] = {}
-        self._next = 0
+        # kf_id -> (word_ids int32, weights float32)
+        self.entries: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        # CSR arena over all entries, rebuilt lazily after changes
+        self._dirty = True
+        self._cat_words: Optional[np.ndarray] = None   # (nnz,) int32
+        self._cat_weights: Optional[np.ndarray] = None  # (nnz,) float32
+        self._cat_row: Optional[np.ndarray] = None      # (nnz,) int32 row
+        self._row_ids: Optional[np.ndarray] = None      # (K,) int64 kf ids
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def nbytes(self) -> int:
+        """Resident size of the stored vectors (bounded-memory check)."""
+        return sum(w.nbytes + i.nbytes for i, w in self.entries.values())
 
     def add(self, kf_id: int, descs: np.ndarray, valid=None):
-        if self._next >= self.capacity:
-            self._grow()
-        row = self._next
-        self._next += 1
-        h = self.vocab.bow_vector(descs, valid)
-        self.hists[row] = h
-        self.has_word[row] = h > 0
-        self.kf_ids[row] = kf_id
-        self.rows[kf_id] = row
+        ids, w = self.vocab.bow_sparse(descs, valid)
+        self.entries[kf_id] = (ids, w)
+        self._dirty = True
 
     def rekey(self, old_id: int, new_id: int):
         """Rename an entry in place (used when Atlas maps merge and the
         welded keyframes receive new ids)."""
-        row = self.rows.pop(old_id, None)
-        if row is not None:
-            self.kf_ids[row] = new_id
-            self.rows[new_id] = row
+        e = self.entries.pop(old_id, None)
+        if e is not None:
+            self.entries[new_id] = e
+            self._dirty = True
 
     def erase(self, kf_id: int):
-        row = self.rows.pop(kf_id, None)
-        if row is not None:
-            self.kf_ids[row] = -1
-            self.hists[row] = 0
-            self.has_word[row] = False
+        """Drop a culled keyframe's entry (reference
+        KeyFrameDatabase::erase, src/KeyFrameDatabase.cc:47)."""
+        if self.entries.pop(kf_id, None) is not None:
+            self._dirty = True
 
-    def _grow(self):
-        c = self.capacity
-        self.capacity *= 2
-        self.hists = np.concatenate(
-            [self.hists, np.zeros((c, self.vocab.n_words), np.float32)]
-        )
-        self.has_word = np.concatenate(
-            [self.has_word, np.zeros((c, self.vocab.n_words), bool)]
-        )
-        self.kf_ids = np.concatenate([self.kf_ids, np.full(c, -1, np.int64)])
+    def _arena(self):
+        if self._dirty:
+            if self.entries:
+                kf_ids = list(self.entries.keys())
+                words = [self.entries[k][0] for k in kf_ids]
+                weights = [self.entries[k][1] for k in kf_ids]
+                lens = np.asarray([len(w) for w in words], np.int64)
+                self._cat_words = np.concatenate(words)
+                self._cat_weights = np.concatenate(weights)
+                self._cat_row = np.repeat(
+                    np.arange(len(kf_ids), dtype=np.int32), lens
+                )
+                self._row_ids = np.asarray(kf_ids, np.int64)
+            else:
+                self._cat_words = np.zeros(0, np.int32)
+                self._cat_weights = np.zeros(0, np.float32)
+                self._cat_row = np.zeros(0, np.int32)
+                self._row_ids = np.zeros(0, np.int64)
+            self._dirty = False
+        return self._cat_words, self._cat_weights, self._cat_row, self._row_ids
 
     # --------------------------------------------------------------- query
-
-    def _scores(self, query_hist: np.ndarray):
-        """L1 similarity score for every stored KF (DBoW2 L1 scoring:
-        s = 2 - |v - w|_1 over normalised vectors, halved to [0,1]-ish).
-        Dense matvec — one MXU pass at scale."""
-        diff = np.abs(self.hists[: self._next] - query_hist[None, :]).sum(1)
-        return 1.0 - 0.5 * diff
 
     def query(
         self,
@@ -96,41 +111,53 @@ class KeyFrameDatabase:
 
         Returns [(kf_id, acc_score)] best-first.
         """
-        if self._next == 0:
+        if not self.entries:
             return []
-        q = self.vocab.bow_vector(descs, valid)
-        qw = q > 0
-        common = (self.has_word[: self._next] & qw[None, :]).sum(1)
-        live = self.kf_ids[: self._next] >= 0
+        cw, cwt, crow, row_ids = self._arena()
+        K = len(row_ids)
+
+        q_ids, q_w = self.vocab.bow_sparse(descs, valid)
+        if len(q_ids) == 0:
+            return []
+        qv = np.zeros(self.vocab.n_words, np.float32)
+        qv[q_ids] = q_w
+
+        qg = qv[cw]                        # query weight at each stored word
+        shared = qg > 0
+        # common-word counts and L1 scores, one segment-sum each
+        common = np.zeros(K, np.int64)
+        np.add.at(common, crow[shared], 1)
+        contrib = 0.5 * (cwt + qg - np.abs(cwt - qg))
+        scores = np.zeros(K, np.float64)
+        np.add.at(scores, crow, contrib)
+
+        live = np.ones(K, bool)
         if exclude:
-            for kid in exclude:
-                row = self.rows.get(kid)
-                if row is not None and row < self._next:
-                    live[row] = False
+            ex = np.isin(row_ids, np.fromiter(exclude, np.int64,
+                                              len(exclude)))
+            live &= ~ex
         if not live.any():
             return []
         max_common = common[live].max()
         gate = live & (common >= min_common_ratio * max_common) & (common > 0)
         if not gate.any():
             return []
-        scores = self._scores(q)
 
         if covis_fn is None:
             idx = np.where(gate)[0]
             order = idx[np.argsort(-scores[idx])][:n_best]
-            return [(int(self.kf_ids[i]), float(scores[i])) for i in order]
+            return [(int(row_ids[i]), float(scores[i])) for i in order]
 
         # covisibility-group accumulation: every word-sharing keyframe
         # contributes its score to the groups it belongs to; the group's
         # representative is its highest-scoring member
         sharing = live & (common > 0)
         score_of = {
-            int(self.kf_ids[r]): float(scores[r])
-            for r in np.where(sharing)[0]
+            int(row_ids[r]): float(scores[r]) for r in np.where(sharing)[0]
         }
         groups: List[Tuple[float, int]] = []
         for r in np.where(gate)[0]:
-            seed = int(self.kf_ids[r])
+            seed = int(row_ids[r])
             acc = score_of.get(seed, 0.0)
             best_kf, best_s = seed, acc
             for member in list(covis_fn(seed))[:10]:

@@ -169,6 +169,24 @@ class Vocabulary:
         n = hist.sum()
         return hist / n if n > 0 else hist
 
+    def bow_sparse(self, descs: np.ndarray, valid=None):
+        """Sparse L1-normalised tf-idf BoW: (word_ids int32 sorted
+        unique, weights float32).  At real ORBvoc scale (k=10, L=6 ~ 1M
+        words) a frame touches <=its keypoint count of words, so the
+        sparse form is ~1000 entries instead of a 4 MB dense row
+        (KeyFrameDatabase uses this; reference DBoW2::BowVector is the
+        same sparse map)."""
+        words = self.transform_words(descs)
+        if valid is not None:
+            words = words[np.asarray(valid)]
+        ids, counts = np.unique(words, return_counts=True)
+        w = counts.astype(np.float32) * self.weights[ids].astype(np.float32)
+        n = w.sum()
+        if n > 0:
+            w /= n
+        keep = w > 0
+        return ids[keep].astype(np.int32), w[keep]
+
     # ------------------------------------------------------------ save/load
 
     def save(self, path: str):

@@ -75,6 +75,19 @@ class ImuQueue:
             self.acc.pop(0)
             self.gyro.pop(0)
 
+    def snapshot(self):
+        """(t, gyro, acc) arrays for checkpointing (slam/checkpoint.py)."""
+        return (
+            np.asarray(self.t, np.float64),
+            np.stack(self.gyro) if self.gyro else np.zeros((0, 3), np.float32),
+            np.stack(self.acc) if self.acc else np.zeros((0, 3), np.float32),
+        )
+
+    def restore(self, t, gyro, acc):
+        self.t = [float(x) for x in t]
+        self.gyro = [np.asarray(g, np.float32) for g in gyro]
+        self.acc = [np.asarray(a, np.float32) for a in acc]
+
     def raw_window(self, t0: float, t1: float):
         """Un-padded (gyro, acc, dt) measurement window covering (t0, t1]
         with boundary dt clipping; None when no samples cover it."""

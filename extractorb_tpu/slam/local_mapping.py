@@ -160,6 +160,11 @@ class LocalMapper:
         self.K = K
         self.imu_calib = imu_calib
         self.recent_points: List[int] = []
+        # called with (map, kf_id) after a keyframe is culled; the
+        # tracker wires this to KeyFrameDatabase.erase (reference
+        # KeyFrame::SetBadFlag -> KeyFrameDatabase::erase,
+        # src/KeyFrameDatabase.cc:47)
+        self.on_kf_removed = None
 
     # ----------------------------------------------------------- pipeline
 
@@ -479,8 +484,17 @@ class LocalMapper:
             if other.parent == kf_id:
                 other.parent = kf.parent
         kf.is_bad = True
+        # tombstone for trajectory resolution (reference SetBadFlag's
+        # mTcp = Tcw * parent.Twc)
+        parent = mp.keyframes.get(kf.parent)
+        if parent is not None:
+            R_cp = (kf.R @ parent.R.T).astype(np.float32)
+            t_cp = (kf.t - R_cp @ parent.t).astype(np.float32)
+            mp.dead_kfs[kf_id] = (kf.parent, R_cp, t_cp)
         del mp.keyframes[kf_id]
         mp.version += 1
+        if self.on_kf_removed is not None:
+            self.on_kf_removed(mp, kf_id)
 
     def _local_ba(self, mp: SLAMMap, kf_id: int):
         """LocalBundleAdjustment window build (reference Optimizer.cc:1698):

@@ -89,6 +89,11 @@ class SLAMMap:
         self.mp_found = np.zeros((cap,), np.int32)
         # observations: mp -> {kf: kp_idx}
         self.obs: Dict[int, Dict[int, int]] = {}
+        # tombstones of culled keyframes: kf_id -> (parent_id, R_cp,
+        # t_cp) with T_cw(kf) = T_cp @ T_cw(parent) at cull time
+        # (reference KeyFrame::SetBadFlag stores mTcp so saved
+        # trajectories can still resolve through dead keyframes)
+        self.dead_kfs: Dict[int, Tuple[int, np.ndarray, np.ndarray]] = {}
         self.version = 0  # change index (reference Map::GetMapChangeIndex)
         # inertial staging flags (reference Map::SetImuInitialized,
         # GetIniertialBA1/2, inc/Map.h:120-129)

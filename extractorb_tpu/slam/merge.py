@@ -136,6 +136,8 @@ def merge_maps(
         "world_sim3": (Rw, tw, sw),
         "kf_cur": kf_remap[kf_drop_id],
         "kf_matched": kf_keep_id,
+        "dropped_mid": drop.mid,
+        "dead_kfs": drop.dead_kfs,
     }
 
 

@@ -98,7 +98,7 @@ class System:
         import jax.numpy as jnp
 
         with open(path, "w") as f:
-            for ts, R, t in self.tracker.trajectory:
+            for ts, R, t in self.tracker.final_trajectory():
                 Rwc = R.T
                 twc = -R.T @ t
                 q = np.asarray(lie.rot_to_quat(jnp.asarray(Rwc)))  # (w,x,y,z)
@@ -113,7 +113,7 @@ class System:
         import jax.numpy as jnp
 
         with open(path, "w") as f:
-            for ts, R, t in self.tracker.trajectory:
+            for ts, R, t in self.tracker.final_trajectory():
                 Rwc = R.T
                 twc = -R.T @ t
                 q = np.asarray(lie.rot_to_quat(jnp.asarray(Rwc)))
@@ -126,7 +126,7 @@ class System:
         """SaveTrajectoryKITTI (reference src/System.cc:748): one 3x4
         row-major camera-to-world matrix per line."""
         with open(path, "w") as f:
-            for _, R, t in self.tracker.trajectory:
+            for _, R, t in self.tracker.final_trajectory():
                 Rwc = R.T
                 twc = -R.T @ t
                 vals = [

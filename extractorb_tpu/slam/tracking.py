@@ -138,9 +138,9 @@ class Tracker:
         self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
         self.img_wh = (float(cam_cfg.width), float(cam_cfg.height))
 
-        self.extractor = ORBExtractor(cfg.orb, octree="device")
+        self.extractor = ORBExtractor(cfg.orb, octree=cfg.orb.octree)
         init_orb = dataclasses.replace(cfg.orb, n_features=5 * cfg.orb.n_features)
-        self.init_extractor = ORBExtractor(init_orb, octree="device")
+        self.init_extractor = ORBExtractor(init_orb, octree=cfg.orb.octree)
         self.scale_factors = tuple(float(s) for s in self.extractor.scales)
         sig = [s * s for s in self.scale_factors]
         self.sigma2 = tuple(sig)
@@ -168,6 +168,12 @@ class Tracker:
             inv_sigma2=self.inv_sigma2,
             fix_scale=cfg.sensor in ("stereo", "rgbd"),
         )
+        if self.loop_closer.db is not None:
+            from .loop_closing import encode_dbid
+
+            self.local_mapper.on_kf_removed = lambda m, k: (
+                self.loop_closer.db.erase(encode_dbid(m.mid, k))
+            )
         self._next_frame_id = 0
         self.init_frame: Optional[Frame] = None
         self.prev_matched: Optional[np.ndarray] = None
@@ -176,12 +182,21 @@ class Tracker:
         self.velocity: Optional[Tuple[np.ndarray, np.ndarray]] = None
         self.last_kf_frame_id = 0
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        # Relative trajectory (reference SaveTrajectoryTUM semantics,
+        # src/System.cc:480): each frame pose stored RELATIVE to its
+        # reference keyframe so loop-closure / GBA corrections reach the
+        # saved trajectory when composed at save time
+        # (final_trajectory()).  Entries: (ts, map mid, kf_id, R_rel,
+        # t_rel) with T_cw(frame) = T_rel @ T_cw(kf); kf_id = -1 stores
+        # an absolute pose.
+        self.traj_rel: List[Tuple[float, int, int, np.ndarray, np.ndarray]] = []
         # first trajectory index recorded in the CURRENT Atlas map's
         # coordinates (reset on Atlas recovery; used to re-express the
         # segment when maps merge)
         self._map_traj_start = 0
         self._rng = np.random.default_rng(0)
         self._frames_lost = 0
+        self._lost_ts = 0.0   # timestamp of the OK->RECENTLY_LOST drop
         self._prev_kf_id = -1   # temporal predecessor for the IMU chain
 
         # fused device tracking step (mono, non-inertial fast path)
@@ -397,6 +412,7 @@ class Tracker:
         return (
             self.sensor == "monocular"
             and not self.inertial
+            and self.cfg.orb.octree == "device"  # fused step extracts on device
             and self.state == TrackState.OK
             and self.velocity is not None
             and last is not None
@@ -487,7 +503,7 @@ class Tracker:
         if self._need_new_keyframe(frame):
             self._create_keyframe(frame)
         self.last_frame = frame
-        self.trajectory.append((ts, frame.R.copy(), frame.t.copy()))
+        self._record_traj(ts, frame.R, frame.t)
         return self.state
 
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray, ts: float,
@@ -515,6 +531,8 @@ class Tracker:
 
     def _track_existing(self, frame: Frame, ts: float):
         """Shared post-initialization state machine (Track(), :1390)."""
+        if self.state == TrackState.RECENTLY_LOST:
+            return self._track_recently_lost(frame, ts)
         if self.state == TrackState.LOST:
             if self._relocalize(frame) and self._track_local_map(frame):
                 self.state = TrackState.OK
@@ -532,17 +550,72 @@ class Tracker:
                     self._frames_lost = 0
             self.last_frame = frame
             if frame.R is not None and self.state == TrackState.OK:
-                self.trajectory.append((ts, frame.R.copy(), frame.t.copy()))
+                self._record_traj(ts, frame.R, frame.t)
         else:
             ok = self._track_frame(frame)
             if ok:
                 self.state = TrackState.OK
                 self._frames_lost = 0
             else:
-                self.state = TrackState.LOST
+                self._enter_lost(ts)
             self.last_frame = frame
             if frame.R is not None and ok:
-                self.trajectory.append((ts, frame.R.copy(), frame.t.copy()))
+                self._record_traj(ts, frame.R, frame.t)
+        return self.state
+
+    def _enter_lost(self, ts: float):
+        """Track-failure transition (reference Tracking.cc:1576-1605):
+        with a mature map (>10 KFs, and IMU initialized when inertial)
+        hold RECENTLY_LOST for ``time_recently_lost`` seconds instead of
+        dropping straight to LOST."""
+        mp = self.atlas.current
+        mature = len(mp.keyframes) > 10 and (
+            not self.inertial or mp.imu_initialized
+        )
+        if mature:
+            self.state = TrackState.RECENTLY_LOST
+            self._lost_ts = ts
+        else:
+            self.state = TrackState.LOST
+
+    def _track_recently_lost(self, frame: Frame, ts: float):
+        """RECENTLY_LOST handling (reference Tracking.cc:1576-1605):
+        inertial runs keep predicting the pose with the IMU so the
+        output trajectory stays continuous; every run retries
+        relocalization each frame.  After ``time_recently_lost`` seconds
+        without recovery the state drops to LOST (Atlas recovery)."""
+        predicted = False
+        if self.inertial and self._imu_ready(frame):
+            # PredictStateIMU (reference Tracking.cc:1589) keeps the
+            # pose estimate alive while relocalization is attempted.
+            last = self.last_frame
+            Rwb1, twb1 = self.imu_calib.body_from_cam(last.R, last.t)
+            Rwb2, twb2, v2 = imu_frontend.predict_state(
+                Rwb1, twb1, last.v, self.cur_bias, frame.preint_frame
+            )
+            frame.R, frame.t = self.imu_calib.cam_from_body(Rwb2, twb2)
+            frame.v = v2
+            frame.bg = self.cur_bias[:3].copy()
+            frame.ba = self.cur_bias[3:].copy()
+            predicted = True
+        pred_Rt = (frame.R, frame.t) if predicted else None
+        if self._relocalize(frame) and self._track_local_map(frame):
+            self.state = TrackState.OK
+            self.velocity = None
+            self._frames_lost = 0
+        else:
+            if pred_Rt is not None:
+                # _relocalize writes candidate poses/matches into the
+                # frame on failed attempts; restore the IMU prediction.
+                frame.R, frame.t = pred_Rt
+                frame.kp_mp[:] = INVALID
+            if ts - self._lost_ts > self.cfg.tracking.time_recently_lost:
+                self.state = TrackState.LOST
+        self.last_frame = frame
+        if frame.R is not None and (
+            self.state == TrackState.OK or predicted
+        ):
+            self._record_traj(ts, frame.R, frame.t)
         return self.state
 
     def _stereo_initialization(self, frame: Frame):
@@ -591,8 +664,7 @@ class Tracker:
         self.velocity = None
         self.state = TrackState.OK
         self.last_frame = frame
-        self.trajectory.append((frame.timestamp, frame.R.copy(),
-                                frame.t.copy()))
+        self._record_traj(frame.timestamp, frame.R, frame.t)
 
     def _relocalize(self, frame: Frame) -> bool:
         """Relocalization (reference Tracking.cc:3184): place-recognition
@@ -648,9 +720,23 @@ class Tracker:
             p3d = np.zeros((len(frame.kp_mp), 3), np.float32)
             p3d[matched] = mp.mp_pos[frame.kp_mp[matched]]
             fx, fy = self.K[0, 0], self.K[1, 1]
-            xy_n = (frame.xy_un - self.K[:2, 2]) / np.array(
-                [fx, fy], np.float32
-            )
+            if self.is_fisheye:
+                # MLPnP semantics (reference inc/MLPnPsolver.h:59-157):
+                # fisheye keypoints are raw pixels, so unproject through
+                # the full KB8 model to unit bearings and run PnP on the
+                # perspective division of the bearing; rays more than
+                # ~87 deg off-axis cannot be represented as z=1
+                # normalized coords and are dropped from the sample set.
+                bear = np.asarray(self.kb8.unproject(
+                    jnp.asarray(frame.xy_un)))
+                front = bear[:, 2] > 0.05
+                z = np.where(front, bear[:, 2], 1.0)[:, None]
+                xy_n = (bear[:, :2] / z).astype(np.float32)
+                matched = matched & front
+            else:
+                xy_n = (frame.xy_un - self.K[:2, 2]) / np.array(
+                    [fx, fy], np.float32
+                )
             res = pnp.ransac_pnp(
                 jnp.asarray(p3d), jnp.asarray(xy_n), jnp.asarray(matched),
                 jax.random.PRNGKey(frame.frame_id),
@@ -797,8 +883,55 @@ class Tracker:
         self.last_kf_frame_id = f2.frame_id
         self.velocity = None
         self.state = TrackState.OK
-        self.trajectory.append((f1.timestamp, f1.R.copy(), f1.t.copy()))
-        self.trajectory.append((f2.timestamp, f2.R.copy(), f2.t.copy()))
+        self._record_traj(f1.timestamp, f1.R, f1.t)
+        self._record_traj(f2.timestamp, f2.R, f2.t)
+
+    def _record_traj(self, ts: float, R: np.ndarray, t: np.ndarray):
+        """Append to both trajectory forms (absolute for live reads,
+        reference-keyframe-relative for corrected saves)."""
+        self.trajectory.append((ts, R.copy(), t.copy()))
+        mp = self.atlas.current
+        k = self.ref_kf
+        if k is not None and k in mp.keyframes:
+            kf = mp.keyframes[k]
+            R_rel = (R @ kf.R.T).astype(np.float32)
+            t_rel = (t - R_rel @ kf.t).astype(np.float32)
+            self.traj_rel.append((ts, mp.mid, k, R_rel, t_rel))
+        else:
+            self.traj_rel.append((ts, mp.mid, -1, R.copy(), t.copy()))
+
+    def final_trajectory(self) -> List[Tuple[float, np.ndarray, np.ndarray]]:
+        """Frame poses with all map corrections applied (reference
+        SaveTrajectoryTUM, src/System.cc:480): compose each stored
+        relative pose with its reference keyframe's CURRENT pose,
+        walking tombstones of culled keyframes up the spanning tree
+        (reference KeyFrame::SetBadFlag stores mTcp for this)."""
+        out = []
+        for ts, mid, kf_id, R_rel, t_rel in self.traj_rel:
+            mp = self.atlas.map_by_mid(mid)
+            if mp is None or kf_id < 0:
+                out.append((ts, R_rel, t_rel))
+                continue
+            R_acc, t_acc = R_rel, t_rel
+            k = kf_id
+            guard = 0
+            while k >= 0 and k not in mp.keyframes and k in mp.dead_kfs \
+                    and guard < 1000:
+                pk, R_cp, t_cp = mp.dead_kfs[k]
+                t_acc = (R_acc @ t_cp + t_acc).astype(np.float32)
+                R_acc = (R_acc @ R_cp).astype(np.float32)
+                k = pk
+                guard += 1
+            kf = mp.keyframes.get(k)
+            if kf is None:
+                out.append((ts, R_rel, t_rel))
+            else:
+                out.append((
+                    ts,
+                    (R_acc @ kf.R).astype(np.float32),
+                    (R_acc @ kf.t + t_acc).astype(np.float32),
+                ))
+        return out
 
     def _reset_map(self):
         self.atlas.create_new_map()
@@ -836,6 +969,30 @@ class Tracker:
             tn = (sw * t - Rn @ tw).astype(np.float32)
             self.trajectory[i] = (ts, Rn, tn)
         self._map_traj_start = 0
+        # relative trajectory: rewrite entries of the dropped map onto
+        # the welded keyframe ids (scale rides on the keyframe poses;
+        # the frame-to-keyframe relative translation scales by sw)
+        dropped_mid = info["dropped_mid"]
+        kept_mid = mp.mid
+        for i, (ts, mid, k, R_rel, t_rel) in enumerate(self.traj_rel):
+            if mid != dropped_mid:
+                continue
+            if k >= 0 and k in remap:
+                self.traj_rel[i] = (
+                    ts, kept_mid, remap[k], R_rel,
+                    (sw * t_rel).astype(np.float32),
+                )
+            elif k < 0:
+                Rn = (R_rel @ Rw.T).astype(np.float32)
+                tn = (sw * t_rel - Rn @ tw).astype(np.float32)
+                self.traj_rel[i] = (ts, kept_mid, -1, Rn, tn)
+        # tombstones of the dropped map move over with remapped ids
+        drop_dead = info.get("dead_kfs", {})
+        for k, (pk, R_cp, t_cp) in drop_dead.items():
+            if pk in remap:
+                mp.dead_kfs[remap.get(k, k)] = (
+                    remap[pk], R_cp, (sw * t_cp).astype(np.float32)
+                )
 
     def _promote(self, f: Frame, mp: SLAMMap) -> KeyFrame:
         kf = KeyFrame(

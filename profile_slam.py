@@ -1,0 +1,92 @@
+"""Ad-hoc wall-clock profile of the full System loop (bench.py's
+_full_slam_bench scenario): wraps the tracker / local mapper methods
+and reports second-run per-method totals to find where the time goes."""
+
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import cv2
+import numpy as np
+
+from test_slam_e2e import render_sequence, W, H
+from extractorb_tpu.config import CameraConfig, ORBConfig, SLAMConfig, TrackingConfig
+from extractorb_tpu.slam.system import System
+from extractorb_tpu.slam import tracking as trk
+from extractorb_tpu.slam import local_mapping as lmm
+from extractorb_tpu.slam import track_device as td
+
+N_FRAMES = int(os.environ.get("N_FRAMES", "14"))
+
+luna = cv2.imread("/root/reference/pic/luna.jpg", 0)
+tex = cv2.resize(luna, (1024, 1024))
+frames, poses = render_sequence(tex, n_frames=N_FRAMES)
+
+acc = defaultdict(float)
+cnt = defaultdict(int)
+enabled = [False]
+
+
+def wrap(cls, name):
+    orig = getattr(cls, name)
+
+    def timed(self, *a, **kw):
+        if not enabled[0]:
+            return orig(self, *a, **kw)
+        t0 = time.perf_counter()
+        try:
+            return orig(self, *a, **kw)
+        finally:
+            dt = time.perf_counter() - t0
+            acc[f"{cls.__name__}.{name}"] += dt
+            cnt[f"{cls.__name__}.{name}"] += 1
+
+    setattr(cls, name, timed)
+
+
+for m in ["_make_frame", "_track_fused", "_track_existing", "_track_frame",
+          "_track_with_motion_model", "_track_reference_keyframe",
+          "_track_local_map", "_pose_opt", "_create_keyframe",
+          "_monocular_initialization", "_need_new_keyframe", "_promote"]:
+    wrap(trk.Tracker, m)
+for m in ["process_keyframe", "_cull_map_points", "_create_new_points",
+          "_fuse_neighbors", "_local_ba", "_cull_keyframes",
+          "_assign_parent", "_triangulate_pairs", "_fuse_into",
+          "_median_depth"]:
+    wrap(lmm.LocalMapper, m)
+wrap(td.MapMirror, "sync")
+from extractorb_tpu.slam.map import SLAMMap
+for m in ["update_point_stats", "covisible_keyframes", "points_seen_by",
+          "add_observation"]:
+    wrap(SLAMMap, m)
+
+
+def run():
+    cfg = SLAMConfig(
+        orb=ORBConfig(n_features=1000),
+        camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                            width=W, height=H),
+        tracking=TrackingConfig(max_frames=6),
+    )
+    s = System(cfg)
+    t0 = time.perf_counter()
+    per_frame = []
+    for k, im in enumerate(frames):
+        f0 = time.perf_counter()
+        s.track_monocular(im, k / 30.0)
+        per_frame.append(time.perf_counter() - f0)
+    return s, time.perf_counter() - t0, per_frame
+
+
+run()  # warmup/compile
+enabled[0] = True
+s, dt, per_frame = run()
+print(f"total {dt:.2f}s  fps {len(frames)/dt:.2f}")
+print("per-frame ms:", " ".join(f"{1e3*x:.0f}" for x in per_frame))
+for k in sorted(acc, key=lambda k: -acc[k]):
+    print(f"{acc[k]*1e3:9.1f} ms  x{cnt[k]:<4d} {k}")

@@ -7,6 +7,7 @@ computeOrbDescriptor code the reference copied from OpenCV)."""
 
 import cv2
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from extractorb_tpu.frontend import (
@@ -152,6 +153,34 @@ def test_extractor_end_to_end_device(luna_gray):
         assert cd >= 0.5 * ch, (lvl, cd, ch)
 
 
+def test_device_octree_spatial_distribution(luna_gray):
+    """Device vs host-exact octree end-to-end: the per-cell occupancy
+    histogram over an 8x6 grid must closely agree — the whole point of
+    DistributeOctTree (reference ORBextractor.cc:544-771) is spatial
+    uniformity, so matching counts per LEVEL is not enough."""
+    cfg = ORBConfig(n_features=1000)
+    fd = fext.ORBExtractor(cfg, octree="device")(jnp.asarray(luna_gray))
+    fh = fext.ORBExtractor(cfg, octree="host")(jnp.asarray(luna_gray))
+    h, w = luna_gray.shape
+
+    def occupancy(f):
+        v = np.asarray(f.valid)
+        xy = np.asarray(f.xy)[v]
+        gx = np.clip((xy[:, 0] / w * 8).astype(int), 0, 7)
+        gy = np.clip((xy[:, 1] / h * 6).astype(int), 0, 5)
+        hist = np.zeros((6, 8), np.float64)
+        np.add.at(hist, (gy, gx), 1.0)
+        return hist / hist.sum()
+
+    hd, hh = occupancy(fd), occupancy(fh)
+    # total-variation distance between the two occupancy distributions
+    tv = 0.5 * np.abs(hd - hh).sum()
+    assert tv < 0.10, (tv, hd, hh)
+    # every cell the host path fills substantially is also filled by the
+    # device path (no dead zones)
+    assert ((hd > 0.2 * hh) | (hh < 0.01)).all(), (hd, hh)
+
+
 def test_native_octree_matches_python(luna_gray, rng):
     """The C++ DistributeOctTree must agree with the python-exact one."""
     from extractorb_tpu.frontend import octree as foct
@@ -168,3 +197,47 @@ def test_native_octree_matches_python(luna_gray, rng):
     assert set(out_c.tolist()) == set(out_py.tolist()), (
         len(out_c), len(out_py), len(set(out_c.tolist()) ^ set(out_py.tolist()))
     )
+
+
+@pytest.mark.slow
+def test_device_vs_host_octree_tracking_ate(luna_gray):
+    """Downstream acceptance: the synthetic-sequence ATE with the
+    device octree must match the host-exact octree path (reference
+    distribution semantics ORBextractor.cc:544-771) within tolerance."""
+    import dataclasses as dc
+
+    from test_slam_e2e import render_sequence, umeyama_align, W, H
+    from extractorb_tpu.config import (
+        CameraConfig, SLAMConfig, TrackingConfig,
+    )
+    from extractorb_tpu.slam.system import System
+
+    import cv2
+
+    tex = cv2.resize(luna_gray, (1024, 1024))
+    frames, poses = render_sequence(tex, n_frames=12)
+
+    def ate_for(octree):
+        cfg = SLAMConfig(
+            orb=ORBConfig(n_features=1000, octree=octree),
+            camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                                width=W, height=H),
+            tracking=TrackingConfig(max_frames=6),
+        )
+        s = System(cfg)
+        for k, im in enumerate(frames):
+            s.track_monocular(im, k / 30.0)
+        traj = s.tracker.final_trajectory()
+        assert len(traj) >= 8, len(traj)
+        est = np.array([-R.T @ t for _, R, t in traj])
+        gt = np.array([
+            -poses[int(round(ts * 30.0))][0].T
+            @ poses[int(round(ts * 30.0))][1]
+            for ts, _, _ in traj
+        ])
+        aligned = umeyama_align(est, gt)
+        return float(np.sqrt(((aligned - gt) ** 2).sum(-1).mean()))
+
+    ate_dev = ate_for("device")
+    ate_host = ate_for("host")
+    assert ate_dev < max(2.0 * ate_host, 0.05), (ate_dev, ate_host)

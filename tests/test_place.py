@@ -118,3 +118,52 @@ def test_db_covisibility_group_accumulation(vocab, frames_desc, rng):
     reloc = db.query(query, covis_fn=lambda k: groups[k],
                      rel_score_ratio=0.75)
     assert [k for k, _ in reloc] == [2]
+
+
+class _BigVocabStub:
+    """ORBvoc-scale stand-in (k=10, L=6 ~ 1e6 words): hashes descriptors
+    to word ids so the database layer can be exercised at real-vocabulary
+    width without training a tree."""
+
+    def __init__(self, n_words=1_000_000):
+        self.n_words = n_words
+        self.weights = None  # unused: bow_sparse overridden
+
+    def bow_sparse(self, descs, valid=None):
+        d = np.asarray(descs)
+        if valid is not None:
+            d = d[np.asarray(valid)]
+        if len(d) == 0:
+            return np.zeros(0, np.int32), np.zeros(0, np.float32)
+        # stable hash of each 32-byte descriptor into [0, n_words)
+        h = (d.astype(np.uint64) * (np.arange(32, dtype=np.uint64) * 2 + 1)
+             ).sum(1) % np.uint64(self.n_words)
+        ids, counts = np.unique(h.astype(np.int64), return_counts=True)
+        w = counts.astype(np.float32)
+        w /= w.sum()
+        return ids.astype(np.int32), w
+
+
+def test_db_scale_bounded_memory(rng):
+    """At 1M-word vocabulary width, 200 stored keyframes must stay
+    sparse (<< 1 MB total vs ~800 MB dense) and the query must still
+    rank the true revisit first."""
+    vocab = _BigVocabStub()
+    db = KeyFrameDatabase(vocab)
+    base = rng.integers(0, 256, (500, 32), dtype=np.uint8)
+    for i in range(200):
+        d = rng.integers(0, 256, (500, 32), dtype=np.uint8)
+        db.add(i, d)
+    # keyframe 123 re-observes `base` with 30% descriptor noise
+    noisy = base.copy()
+    rows = rng.choice(500, 150, replace=False)
+    noisy[rows] = rng.integers(0, 256, (150, 32), np.uint8)
+    db.add(123, noisy)
+
+    assert db.nbytes() < 2_000_000, db.nbytes()  # sparse: ~4KB/KF
+    res = db.query(base, n_best=3)
+    assert res and res[0][0] == 123, res
+
+    db.erase(123)
+    res = db.query(base, n_best=3)
+    assert all(k != 123 for k, _ in res)
