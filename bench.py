@@ -215,7 +215,7 @@ def _full_slam_bench():
         s, states, dt = run()
         slam_fps = len(frames) / dt
 
-        traj = s.tracker.trajectory
+        traj = s.tracker.final_trajectory()
         est = np.array([-R.T @ t for _, R, t in traj])
         gt = np.array([
             -poses[int(round(ts * 30.0))][0].T @ poses[int(round(ts * 30.0))][1]

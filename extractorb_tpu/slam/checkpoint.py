@@ -209,6 +209,8 @@ def save_session(tracker, path: str):
     and the tracking-thread resume state."""
     blobs: dict = {}
     atlas = tracker.atlas
+    # land any in-flight async window BA before serializing poses
+    tracker.local_mapper.flush_ba(atlas.current)
     blobs["n_maps"] = np.asarray([len(atlas.maps)])
     blobs["active"] = np.asarray([atlas.active])
     blobs["next_mid"] = np.asarray([atlas._next_mid])

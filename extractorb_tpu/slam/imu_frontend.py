@@ -220,6 +220,45 @@ def initialize_imu(
     if K < min_kfs or sum(valids) < K - 1:
         return False
 
+    # Scale observability: the accelerometer signal in a position edge
+    # grows as 0.5*|a|*dT^2 while the visual pose noise is constant, so
+    # short (~0.25 s) keyframe edges ATTENUATE the estimated scale
+    # (classical errors-in-variables shrinkage: s_hat ~ s *
+    # signal^2/(signal^2+noise^2)).  Re-chain the init solve over
+    # merged edges of >= min_edge_dt seconds: the raw measurement
+    # windows stored per keyframe (kf.imu_meas) concatenate exactly.
+    min_edge_dt = 0.8
+    kts = [mp.keyframes[k].timestamp for k in kids]
+    sel = [0]
+    for i in range(1, K):
+        if kts[i] - kts[sel[-1]] >= min_edge_dt or i == K - 1:
+            sel.append(i)
+    if len(sel) >= 4:
+        sub_preints = [pre.init_preintegrated()]
+        sub_valids = [False]
+        ok_chain = True
+        for a, b in zip(sel[:-1], sel[1:]):
+            meas = None
+            for i in range(a + 1, b + 1):
+                m = mp.keyframes[kids[i]].imu_meas
+                if m is None:
+                    ok_chain = False
+                    break
+                meas = merge_measurements(meas, m)
+            if not ok_chain:
+                break
+            sub_preints.append(integrate_raw(
+                meas, np.zeros(6, np.float32), calib
+            ))
+            sub_valids.append(True)
+        if ok_chain:
+            kids_full, Rwb_full, twb_full = kids, Rwb, twb
+            kids = [kids[i] for i in sel]
+            Rwb = Rwb[sel]
+            twb = twb[sel]
+            preints, valids = sub_preints, sub_valids
+            K = len(kids)
+
     # seed velocities: finite differences of body centers (reference
     # LocalMapping.cc:1213+40: (pose_j - pose_i)/dt)
     dTs = np.asarray([float(p.dT) for p in preints])
@@ -229,14 +268,41 @@ def initialize_imu(
             v0[k] = (twb[k] - twb[k - 1]) / dTs[k]
     v0[0] = v0[1]
 
+    # gravity-direction seed from the preintegrated velocity deltas
+    # (reference LocalMapping.cc:1258: dirG = -sum Rwb_i * dV_i): for
+    # slow motion  sum Rwb_i dV_i ~ -g * total_dT, so rotate the
+    # solver's nominal -z gravity onto the measured direction before
+    # optimising (a cold 2-DoF start ~90 deg away collapses the scale).
+    dirG = np.zeros(3)
+    for k in range(1, K):
+        if valids[k]:
+            dirG += Rwb[k - 1] @ np.asarray(preints[k].dV)
+    nG = np.linalg.norm(dirG)
+    Rwg0 = np.eye(3, dtype=np.float32)
+    if nG > 1e-6:
+        d = dirG / nG                      # ~ -g direction
+        z = np.array([0.0, 0.0, 1.0])      # solver's g0 is -G * z
+        ax = np.cross(z, d)
+        na = np.linalg.norm(ax)
+        if na > 1e-8:
+            ang = float(np.arctan2(na, float(z @ d)))
+            Rwg0 = np.asarray(jax.device_get(pre.lie.so3_exp(
+                jnp.asarray(ax / na * ang, jnp.float32)
+            )))
+
     chain = sin.stack_chain(preints, valids)
     res = sin.inertial_only(
         jnp.asarray(Rwb), jnp.asarray(twb), chain,
         jnp.asarray(v0), jnp.zeros(6, jnp.float32),
         prior_g=prior_g, prior_a=prior_a, fix_scale=fix_scale,
+        Rwg0=jnp.asarray(Rwg0),
     )
     s = float(res.scale)
-    if not np.isfinite(s) or s < 1e-2:
+    # reference InitializeIMU rejects mScale < 0.1 for monocular
+    # (LocalMapping.cc:1213 region): a collapsed scale means the
+    # fixed-pose solve failed (weak excitation / noisy visual poses);
+    # retry at the next keyframe instead of corrupting the map
+    if not np.isfinite(s) or s < 1e-1:
         return False
     bg = np.asarray(res.bg)
     ba = np.asarray(res.ba)
@@ -245,19 +311,46 @@ def initialize_imu(
 
     # re-express the map in the gravity frame: p_y = s * Rwg^T @ p_w
     Ryw = Rwg.T
-    mp.apply_scaled_rotation(Ryw, s if not fix_scale else 1.0)
+    s_applied = s if not fix_scale else 1.0
+    mp.apply_scaled_rotation(Ryw, s_applied)
     for k, kid in enumerate(kids):
         kf = mp.keyframes[kid]
         kf.v = (s * (Ryw @ v[k])).astype(np.float32) if not fix_scale \
             else (Ryw @ v[k]).astype(np.float32)
         kf.bg = bg.copy()
         kf.ba = ba.copy()
+    # keyframes not part of the (possibly subsampled) init chain:
+    # velocity from finite differences of the now-metric poses
+    solved = set(kids)
+    all_kids = sorted(mp.keyframes.keys())
+    for i, kid in enumerate(all_kids):
+        kf = mp.keyframes[kid]
+        if kid in solved:
+            continue
+        if i > 0:
+            pa = mp.keyframes[all_kids[i - 1]]
+            dt = kf.timestamp - pa.timestamp
+            if dt > 1e-6:
+                Ra, ta = calib.body_from_cam(pa.R, pa.t)
+                Rb, tb = calib.body_from_cam(kf.R, kf.t)
+                kf.v = ((tb - ta) / dt).astype(np.float32)
+        if kf.v is None:
+            kf.v = np.zeros(3, np.float32)
+        kf.bg = bg.copy()
+        kf.ba = ba.copy()
     mp.imu_initialized = True
 
     if fiba and project is not None:
+        # the reference's init-time FullInertialBA runs to convergence
+        # (100-200 g2o iterations); a short budget leaves the map scale
+        # and velocities inconsistent with the metric preintegrations,
+        # which then breaks every subsequent VI tracking step
         full_inertial_ba(mp, calib, project,
-                         prior_g=prior_g, prior_a=prior_a)
-    return True
+                         prior_g=prior_g, prior_a=prior_a, n_iters=25)
+    # truthy result carrying the applied world update so the tracker
+    # can re-express recorded trajectory segments (reference
+    # Tracking::UpdateFrameIMU rescales mlRelativeFramePoses)
+    return (Ryw, s_applied)
 
 
 def full_inertial_ba(mp, calib: ImuCalib, project,

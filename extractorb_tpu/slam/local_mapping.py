@@ -12,7 +12,9 @@ calls, so mapping latency is bounded by construction.
 
 from __future__ import annotations
 
-from typing import Iterable, List, Sequence, Set
+from typing import Iterable, List, Optional, Sequence, Set
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +35,8 @@ def run_ba(
     n_iters: int = 10,
     max_points: int = 8192,
     max_obs: int = 32768,
+    cg_iters: int = 40,
+    async_apply: bool = False,
 ):
     """Build a BAProblem from a keyframe window and write results back.
 
@@ -130,25 +134,139 @@ def run_ba(
         fixed_kf=jnp.asarray(fixed_p),
         fixed_mp=jnp.asarray(fixed_mp_p),
     )
-    res = sba.optimize(prob, project, n_iters=n_iters, cg_iters=40)
-
-    R_all, t_all, pts_out, inl = jax.device_get(
-        (res.R, res.t, res.points, res.inliers)
+    res = sba.optimize(prob, project, n_iters=n_iters, cg_iters=cg_iters)
+    pending = PendingBA(
+        res=res, kf_ids=kf_ids, kf_index=kf_index, fixed=fixed,
+        pt_ids=pt_ids, obs_kf=obs_kf, obs_mp=obs_mp, K=K, P=P, O=O,
     )
-    R_out = np.asarray(R_all)[:K]
-    t_out = np.asarray(t_all)[:K]
-    for k, i in kf_index.items():
-        if not fixed[i]:
-            mp.keyframes[k].R = R_out[i]
-            mp.keyframes[k].t = t_out[i]
-    mp.mp_pos[pt_ids] = np.asarray(pts_out)[:P]
+    if async_apply:
+        # JAX dispatch is asynchronous: the LM/PCG solve executes on
+        # device while the tracker keeps processing frames (the TPU
+        # analog of the reference's concurrent LocalMapping thread);
+        # PendingBA.apply() at the next keyframe fetches + writes back.
+        return pending
+    pending.apply(mp)
+    return None
 
-    inl = np.asarray(inl)
-    for o in np.where(~inl[:O])[0]:
-        p = int(pt_ids[obs_mp[o]])
-        kf_id = kf_ids[obs_kf[o]]
-        mp.erase_observation(p, kf_id)
-    mp.version += 1
+
+class PendingBA:
+    """A dispatched-but-unfetched window BA (see run_ba async_apply)."""
+
+    def __init__(self, res, kf_ids, kf_index, fixed, pt_ids,
+                 obs_kf, obs_mp, K, P, O):
+        self.res = res
+        self.kf_ids = kf_ids
+        self.kf_index = kf_index
+        self.fixed = fixed
+        self.pt_ids = pt_ids
+        self.obs_kf = obs_kf
+        self.obs_mp = obs_mp
+        self.K, self.P, self.O = K, P, O
+
+    def apply(self, mp: SLAMMap):
+        res = self.res
+        R_all, t_all, pts_out, inl = jax.device_get(
+            (res.R, res.t, res.points, res.inliers)
+        )
+        R_out = np.asarray(R_all)[: self.K]
+        t_out = np.asarray(t_all)[: self.K]
+        for k, i in self.kf_index.items():
+            if not self.fixed[i] and k in mp.keyframes:
+                mp.keyframes[k].R = R_out[i]
+                mp.keyframes[k].t = t_out[i]
+        live = mp.mp_valid[self.pt_ids]
+        mp.mp_pos[self.pt_ids[live]] = np.asarray(pts_out)[: self.P][live]
+
+        inl = np.asarray(inl)
+        for o in np.where(~inl[: self.O])[0]:
+            p = int(self.pt_ids[self.obs_mp[o]])
+            kf_id = self.kf_ids[self.obs_kf[o]]
+            if kf_id in mp.keyframes:
+                mp.erase_observation(p, kf_id)
+        mp.version += 1
+
+
+@functools.lru_cache(maxsize=None)
+def _triangulation_program(scale_factors, inv_sigma2, B, N):
+    """One-program CreateNewMapPoints device stage: vmapped epipolar
+    search + DLT triangulation + acceptance checks over B neighbour
+    keyframes (reference LocalMapping.cc:383 runs these per neighbour;
+    batching removes ~2 dispatches x ~30 ms per neighbour)."""
+    sf = jnp.asarray(scale_factors, jnp.float32)
+    sigma2 = jnp.asarray([1.0 / s for s in inv_sigma2], jnp.float32)
+    n_lvl = len(scale_factors)
+    factor = 1.5 * float(scale_factors[1])
+
+    @jax.jit
+    def run(desc1, xy1, oct1, free1,
+            desc2B, xy2B, oct2B, free2B,
+            F12B, P1, P2B, R1, t1, R2B, t2B, O1, O2B, Kvec):
+        def per_neighbor(desc2, xy2, oct2, free2, F12, P2, R2, t2, O2):
+            m12 = fm.search_for_triangulation(
+                desc1, xy1, oct1, free1, desc2, xy2, oct2, free2, F12,
+                sigma2,
+            )
+            j = jnp.clip(m12, 0, N - 1)
+            x1, x2 = xy1, xy2[j]
+            X = tv.triangulate(P1, P2, x1, x2)
+            r1, r2 = X - O1, X - O2
+            n1 = jnp.linalg.norm(r1, axis=-1)
+            n2 = jnp.linalg.norm(r2, axis=-1)
+            cos_par = (r1 * r2).sum(-1) / jnp.maximum(n1 * n2, 1e-12)
+            pc1 = X @ R1.T + t1
+            pc2 = X @ R2.T + t2
+            ok = (m12 >= 0) & (pc1[:, 2] > 0) & (pc2[:, 2] > 0) \
+                & (cos_par < 0.9998)
+            fx, fy, cx, cy = Kvec[0], Kvec[1], Kvec[2], Kvec[3]
+            for pc, x, octv in ((pc1, x1, oct1), (pc2, x2, oct2[j])):
+                u = fx * pc[:, 0] / jnp.maximum(pc[:, 2], 1e-9) + cx
+                v = fy * pc[:, 1] / jnp.maximum(pc[:, 2], 1e-9) + cy
+                s2 = sigma2[jnp.clip(octv, 0, n_lvl - 1)]
+                err = (u - x[:, 0]) ** 2 + (v - x[:, 1]) ** 2
+                ok &= err <= 5.991 * s2
+            ratio_dist = n2 / jnp.maximum(n1, 1e-12)
+            ratio_oct = sf[jnp.clip(oct1, 0, n_lvl - 1)] \
+                / sf[jnp.clip(oct2[j], 0, n_lvl - 1)]
+            ok &= (ratio_dist < ratio_oct * factor) \
+                & (ratio_dist * factor > ratio_oct)
+            return m12, X, ok
+
+        return jax.vmap(per_neighbor)(
+            desc2B, xy2B, oct2B, free2B, F12B, P2B, R2B, t2B, O2B
+        )
+
+    return run
+
+
+def _bucket_b(b: int) -> int:
+    """Pad the neighbour/job axis to a coarse ladder: each distinct B is
+    a separate XLA program (~30 s first compile on TPU), and padded
+    batch entries are nearly free compute, so two buckets suffice."""
+    return 4 if b <= 4 else 12
+
+
+@functools.lru_cache(maxsize=None)
+def _fuse_program(project, scale_factors, B, M, N):
+    """One-program SearchInNeighbors device stage: vmapped
+    search_by_projection over B (point-block, keyframe) jobs (reference
+    LocalMapping.cc:729 projects per neighbour; batching removes a
+    ~30 ms dispatch per neighbour)."""
+
+    @jax.jit
+    def run(mp_posB, mp_descB, mp_valB, mp_normB, mp_maxdB,
+            R_B, t_B, xyB, descB, octB, validB):
+        def per(mpp, mpd, mpv, mpn, mpm, R, t, xy, dsc, oc, vl):
+            return fm.search_by_projection_local_map(
+                mpp, mpd, mpv, mpn, mpm, R, t, xy, dsc, oc, vl, None,
+                project, scale_factors, (1e9, 1e9), 0.75,
+            )
+
+        return jax.vmap(per)(
+            mp_posB, mp_descB, mp_valB, mp_normB, mp_maxdB,
+            R_B, t_B, xyB, descB, octB, validB,
+        )
+
+    return run
 
 
 class LocalMapper:
@@ -165,6 +283,22 @@ class LocalMapper:
         # KeyFrame::SetBadFlag -> KeyFrameDatabase::erase,
         # src/KeyFrameDatabase.cc:47)
         self.on_kf_removed = None
+        # in-flight window BA (run_ba async_apply): applied at the next
+        # keyframe, discarded when a loop/merge/IMU-init rewrote poses
+        self._pending_ba: Optional[PendingBA] = None
+        self._pending_ba_mid = -1
+
+    def flush_ba(self, mp: SLAMMap):
+        """Apply the in-flight window BA, if any (and still valid)."""
+        p = self._pending_ba
+        self._pending_ba = None
+        if p is not None and self._pending_ba_mid == mp.mid:
+            p.apply(mp)
+
+    def discard_ba(self):
+        """Drop the in-flight window BA (map poses were rewritten by a
+        loop correction / merge / gravity alignment underneath it)."""
+        self._pending_ba = None
 
     # ----------------------------------------------------------- pipeline
 
@@ -172,6 +306,7 @@ class LocalMapper:
         """ProcessNewKeyFrame + culling + CreateNewMapPoints +
         SearchInNeighbors fuse + local BA + KeyFrameCulling
         (reference LocalMapping::Run body, :78-230)."""
+        self.flush_ba(mp)
         self._assign_parent(mp, kf_id)
         self._cull_map_points(mp)
         self._create_new_points(mp, kf_id)
@@ -214,38 +349,92 @@ class LocalMapper:
 
     def _create_new_points(self, mp: SLAMMap, kf_id: int, n_neighbors: int = 10):
         """CreateNewMapPoints (reference :383): epipolar-gated matching
-        with covisible neighbours + triangulation."""
+        with covisible neighbours + triangulation.
+
+        All neighbour searches + triangulations + acceptance checks run
+        as ONE device program (vmapped over the neighbour axis): on a
+        remote TPU each dispatch costs ~30 ms, so the reference's
+        sequential per-neighbour loop is latency-bound, not
+        compute-bound.  Keypoint claims are resolved on the host in
+        neighbour order (first neighbour wins), which matches the
+        sequential reference semantics for kf1's side."""
         kf1 = mp.keyframes[kf_id]
         neighbors = [k for k, _ in mp.covisible_keyframes(kf_id, 1)[:n_neighbors]]
         O1 = kf1.center()
         free1 = kf1.valid & (kf1.kp_mp < 0)
+        use = []
         for nk in neighbors:
             kf2 = mp.keyframes[nk]
             baseline = np.linalg.norm(kf2.center() - O1)
             med_depth = self._median_depth(mp, kf2)
-            if med_depth <= 0 or baseline / med_depth < 0.01:
-                continue
-            F12 = self._fundamental(kf1, kf2)
-            free2 = kf2.valid & (kf2.kp_mp < 0)
-            m12 = np.asarray(
-                fm.search_for_triangulation(
-                    kf1.feats.desc, jnp.asarray(kf1.xy_un), kf1.feats.octave,
-                    jnp.asarray(free1),
-                    kf2.feats.desc, jnp.asarray(kf2.xy_un), kf2.feats.octave,
-                    jnp.asarray(free2),
-                    jnp.asarray(F12.astype(np.float32)),
-                    jnp.asarray(
-                        np.asarray(
-                            [1.0 / s for s in self.inv_sigma2], np.float32
-                        )
-                    ),
+            if med_depth > 0 and baseline / med_depth >= 0.01:
+                use.append(kf2)
+        if not use:
+            return
+        P1 = (self.K @ np.concatenate([kf1.R, kf1.t[:, None]], 1)).astype(
+            np.float32
+        )
+        created = []
+        # neighbour keyframes may have different keypoint capacities
+        # (the init extractor runs at 5x): one program per capacity group
+        groups = {}
+        for k2 in use:
+            groups.setdefault(len(k2.valid), []).append(k2)
+        for N2, grp in groups.items():
+            n_real = len(grp)
+            B = _bucket_b(n_real)
+            while len(grp) < B:   # pad with a no-match dummy (free2=False)
+                grp.append(grp[0])
+            desc2 = jnp.stack([k2.feats.desc for k2 in grp])
+            oct2 = jnp.stack([k2.feats.octave for k2 in grp])
+            xy2 = np.stack([k2.xy_un for k2 in grp])
+            free2 = np.stack([k2.valid & (k2.kp_mp < 0) for k2 in grp])
+            free2[n_real:] = False
+            F12 = np.stack([self._fundamental(kf1, k2) for k2 in grp])
+            P2 = np.stack([
+                (self.K @ np.concatenate([k2.R, k2.t[:, None]], 1)).astype(
+                    np.float32
                 )
+                for k2 in grp
+            ])
+            R2 = np.stack([k2.R for k2 in grp])
+            t2 = np.stack([k2.t for k2 in grp])
+            O2 = np.stack([k2.center() for k2 in grp])
+
+            prog = _triangulation_program(
+                tuple(self.scale_factors), tuple(self.inv_sigma2), B, N2
             )
-            rows = np.where(m12 >= 0)[0]
-            if len(rows) == 0:
-                continue
-            self._triangulate_pairs(mp, kf1, kf2, rows, m12[rows])
-            free1 = kf1.valid & (kf1.kp_mp < 0)
+            m12B, XB, okB = jax.device_get(prog(
+                kf1.feats.desc, jnp.asarray(kf1.xy_un), kf1.feats.octave,
+                jnp.asarray(free1),
+                desc2, jnp.asarray(xy2), oct2, jnp.asarray(free2),
+                jnp.asarray(F12.astype(np.float32)),
+                jnp.asarray(P1), jnp.asarray(P2),
+                jnp.asarray(kf1.R), jnp.asarray(kf1.t),
+                jnp.asarray(R2), jnp.asarray(t2),
+                jnp.asarray(O1.astype(np.float32)),
+                jnp.asarray(O2.astype(np.float32)),
+                jnp.asarray(np.asarray(
+                    [self.K[0, 0], self.K[1, 1], self.K[0, 2],
+                     self.K[1, 2]], np.float32,
+                )),
+            ))
+            for b in range(n_real):
+                kf2 = grp[b]
+                rows = np.where(okB[b])[0]
+                for i1 in rows:
+                    i2 = int(m12B[b, i1])
+                    if kf1.kp_mp[i1] >= 0 or kf2.kp_mp[i2] >= 0:
+                        continue  # claimed by an earlier neighbour
+                    mid = mp.add_point(
+                        XB[b, i1], kf1.desc[i1], np.zeros(3, np.float32),
+                        1.0, kf1.kid,
+                    )
+                    mp.add_observation(mid, kf1.kid, int(i1))
+                    mp.add_observation(mid, kf2.kid, i2)
+                    created.append(mid)
+                    self.recent_points.append(mid)
+        mp.update_point_stats_batch(created)
 
     def _median_depth(self, mp: SLAMMap, kf) -> float:
         ids = kf.kp_mp[kf.kp_mp >= 0]
@@ -270,120 +459,93 @@ class LocalMapper:
         Kinv = np.linalg.inv(self.K)
         return Kinv.T @ tx @ R12 @ Kinv
 
-    def _triangulate_pairs(self, mp: SLAMMap, kf1, kf2, idx1, idx2):
-        """Triangulate matched pairs with the reference's checks
-        (parallax, cheirality, reprojection, scale consistency)."""
-        P1 = self.K @ np.concatenate([kf1.R, kf1.t[:, None]], 1)
-        P2 = self.K @ np.concatenate([kf2.R, kf2.t[:, None]], 1)
-        x1 = kf1.xy_un[idx1]
-        x2 = kf2.xy_un[idx2]
-        X = np.asarray(
-            tv.triangulate(
-                jnp.asarray(P1.astype(np.float32)),
-                jnp.asarray(P2.astype(np.float32)),
-                jnp.asarray(x1), jnp.asarray(x2),
-            )
-        )
-        O1, O2 = kf1.center(), kf2.center()
-        r1 = X - O1
-        r2 = X - O2
-        n1 = np.linalg.norm(r1, axis=-1)
-        n2 = np.linalg.norm(r2, axis=-1)
-        cos_par = (r1 * r2).sum(-1) / np.maximum(n1 * n2, 1e-12)
-
-        pc1 = X @ kf1.R.T + kf1.t
-        pc2 = X @ kf2.R.T + kf2.t
-        ok = (pc1[:, 2] > 0) & (pc2[:, 2] > 0) & (cos_par < 0.9998)
-
-        fx, fy, cx, cy = self.K[0, 0], self.K[1, 1], self.K[0, 2], self.K[1, 2]
-        for im, (pc, x, kf, idx) in enumerate(
-            [(pc1, x1, kf1, idx1), (pc2, x2, kf2, idx2)]
-        ):
-            u = fx * pc[:, 0] / np.maximum(pc[:, 2], 1e-9) + cx
-            v = fy * pc[:, 1] / np.maximum(pc[:, 2], 1e-9) + cy
-            sig2 = np.asarray([1.0 / s for s in self.inv_sigma2])[
-                np.clip(kf.octave[idx], 0, len(self.inv_sigma2) - 1)
-            ]
-            err = (u - x[:, 0]) ** 2 + (v - x[:, 1]) ** 2
-            ok &= err <= 5.991 * sig2
-
-        # scale consistency (reference :383+300 region)
-        sf = np.asarray(self.scale_factors)
-        ratio_dist = n2 / np.maximum(n1, 1e-12)
-        ratio_oct = (
-            sf[np.clip(kf1.octave[idx1], 0, len(sf) - 1)]
-            / sf[np.clip(kf2.octave[idx2], 0, len(sf) - 1)]
-        )
-        factor = 1.5 * float(sf[1])
-        ok &= (ratio_dist < ratio_oct * factor) & (
-            ratio_dist * factor > ratio_oct
-        )
-
-        for j in np.where(ok)[0]:
-            i1, i2 = int(idx1[j]), int(idx2[j])
-            if kf1.kp_mp[i1] >= 0 or kf2.kp_mp[i2] >= 0:
-                continue
-            mid = mp.add_point(
-                X[j], kf1.desc[i1], np.zeros(3, np.float32), 1.0, kf1.kid
-            )
-            mp.add_observation(mid, kf1.kid, i1)
-            mp.add_observation(mid, kf2.kid, i2)
-            mp.update_point_stats(mid)
-            self.recent_points.append(mid)
-
     def _fuse_neighbors(self, mp: SLAMMap, kf_id: int, n_neighbors: int = 10):
         """SearchInNeighbors (reference LocalMapping.cc:729): project the
         covisible neighbours' map points into the new keyframe and attach
-        or merge; then the symmetric pass."""
+        or merge; then the symmetric pass.  All B+1 projection searches
+        run as ONE vmapped device program (dispatch-latency bound on
+        remote TPU backends)."""
         kf1 = mp.keyframes[kf_id]
         neighbors = [k for k, _ in mp.covisible_keyframes(kf_id, 1)[:n_neighbors]]
         if not neighbors:
             return
-        # pass 1: neighbours' points -> kf1
-        pts = mp.points_seen_by(neighbors)
-        self._fuse_into(mp, kf_id, pts)
-        # pass 2: kf1's points -> each neighbour
-        own = mp.points_seen_by([kf_id])
-        for nk in neighbors:
-            self._fuse_into(mp, nk, own)
-
-    def _fuse_into(self, mp: SLAMMap, kf_id: int, pt_ids: np.ndarray):
-        kf = mp.keyframes[kf_id]
-        # drop points already observed by this keyframe
-        pt_ids = np.asarray(
-            [p for p in pt_ids if kf_id not in mp.obs.get(int(p), {})],
-            np.int32,
-        )
-        if len(pt_ids) == 0:
-            return
         M = 4096
-        pt_ids = pt_ids[:M]
-        k = len(pt_ids)
-        mp_pos = np.zeros((M, 3), np.float32)
-        mp_desc = np.zeros((M, 32), np.uint8)
-        mp_norm = np.zeros((M, 3), np.float32)
-        mp_maxd = np.ones((M,), np.float32)
-        mp_val = np.zeros((M,), bool)
-        mp_pos[:k] = mp.mp_pos[pt_ids]
-        mp_desc[:k] = mp.mp_desc[pt_ids]
-        mp_norm[:k] = mp.mp_normal[pt_ids]
-        mp_maxd[:k] = mp.mp_max_dist[pt_ids]
-        mp_val[:k] = mp.mp_valid[pt_ids]
-
-        img_wh = (1e9, 1e9)  # frustum bound handled by projection checks
-        matches = np.asarray(
-            fm.search_by_projection_local_map(
-                jnp.asarray(mp_pos), jnp.asarray(mp_desc), jnp.asarray(mp_val),
-                jnp.asarray(mp_norm), jnp.asarray(mp_maxd),
-                jnp.asarray(kf.R), jnp.asarray(kf.t),
-                jnp.asarray(kf.xy_un), kf.feats.desc, kf.feats.octave,
-                jnp.asarray(kf.valid), None,
-                self.project, self.scale_factors, img_wh,
-                0.75,  # reference Fuse radius 3.0*scale (vs 4.0 base here)
+        own = mp.points_seen_by([kf_id])
+        jobs = []  # (target_kf_id, pt_ids)
+        pts = mp.points_seen_by(neighbors)
+        jobs.append((kf_id, pts))
+        for nk in neighbors:
+            jobs.append((nk, own))
+        # per-job filter: drop points already observed by the target
+        filt = []
+        for tgt, pt_ids in jobs:
+            pt_ids = np.asarray(
+                [p for p in pt_ids if tgt not in mp.obs.get(int(p), {})],
+                np.int32,
+            )[:M]
+            if len(pt_ids):
+                filt.append((tgt, pt_ids))
+        if not filt:
+            return
+        # group by target keyframe capacity (init KFs run at 5x)
+        by_cap = {}
+        for tgt, pt_ids in filt:
+            by_cap.setdefault(len(mp.keyframes[tgt].valid), []).append(
+                (tgt, pt_ids)
             )
-        )
+        for N, jobs in by_cap.items():
+            n_real = len(jobs)
+            B = _bucket_b(n_real)
+            posB = np.zeros((B, M, 3), np.float32)
+            descB = np.zeros((B, M, 32), np.uint8)
+            normB = np.zeros((B, M, 3), np.float32)
+            maxdB = np.ones((B, M), np.float32)
+            valB = np.zeros((B, M), bool)
+            R_B = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+            t_B = np.zeros((B, 3), np.float32)
+            xyB = np.zeros((B, N, 2), np.float32)
+            kdescB = [None] * B
+            koctB = [None] * B
+            kvalidB = np.zeros((B, N), bool)
+            for j, (tgt, pt_ids) in enumerate(jobs):
+                k = len(pt_ids)
+                posB[j, :k] = mp.mp_pos[pt_ids]
+                descB[j, :k] = mp.mp_desc[pt_ids]
+                normB[j, :k] = mp.mp_normal[pt_ids]
+                maxdB[j, :k] = mp.mp_max_dist[pt_ids]
+                valB[j, :k] = mp.mp_valid[pt_ids]
+                kf = mp.keyframes[tgt]
+                R_B[j], t_B[j] = kf.R, kf.t
+                xyB[j] = kf.xy_un
+                kdescB[j] = kf.feats.desc
+                koctB[j] = kf.feats.octave
+                kvalidB[j] = kf.valid
+            for j in range(n_real, B):
+                kdescB[j] = kdescB[0]
+                koctB[j] = koctB[0]
+
+            prog = _fuse_program(self.project, tuple(self.scale_factors),
+                                 B, M, N)
+            matchesB = np.asarray(jax.device_get(prog(
+                jnp.asarray(posB), jnp.asarray(descB), jnp.asarray(valB),
+                jnp.asarray(normB), jnp.asarray(maxdB),
+                jnp.asarray(R_B), jnp.asarray(t_B),
+                jnp.asarray(xyB), jnp.stack(kdescB), jnp.stack(koctB),
+                jnp.asarray(kvalidB),
+            )))
+            for j, (tgt, pt_ids) in enumerate(jobs):
+                self._apply_fuse(mp, tgt, pt_ids, matchesB[j])
+
+    def _apply_fuse(self, mp: SLAMMap, kf_id: int, pt_ids: np.ndarray,
+                    matches: np.ndarray):
+        """Attach-or-merge the accepted projections (reference
+        ORBmatcher::Fuse tail, ORBmatcher.cc:2028 region)."""
+        kf = mp.keyframes[kf_id]
+        touched = []
         for row in np.where(matches >= 0)[0]:
             p = int(pt_ids[row])
+            if not mp.mp_valid[p]:
+                continue  # merged away by an earlier job of this batch
             kp = int(matches[row])
             existing = int(kf.kp_mp[kp])
             if existing >= 0 and mp.mp_valid[existing]:
@@ -403,10 +565,11 @@ class LocalMapper:
                             mp.keyframes[okf].kp_mp[okp] = -1
                 mp.obs[drop] = {}
                 mp.remove_point(drop)
-                mp.update_point_stats(keep)
+                touched.append(keep)
             else:
                 mp.add_observation(p, kf_id, kp)
-                mp.update_point_stats(p)
+                touched.append(p)
+        mp.update_point_stats_batch(touched)
 
     def _cull_keyframes(self, mp: SLAMMap, kf_id: int):
         """KeyFrameCulling (reference :935): a covisible keyframe is
@@ -416,6 +579,21 @@ class LocalMapper:
             kf = mp.keyframes.get(cand)
             if kf is None or cand <= 1:  # keep the initial pair
                 continue
+            # Inertial maps: culling must not starve or break the IMU
+            # temporal chain (reference KeyFrameCulling inertial branch,
+            # LocalMapping.cc:935+): no culling before IMU init, and
+            # afterwards only when the merged preintegration gap stays
+            # short (<3 s; <0.5 s until the final VIBA2 refinement).
+            if self.imu_calib is not None:
+                if not mp.imu_initialized:
+                    continue
+                prev = mp.keyframes.get(kf.prev_kf)
+                succ = next((k for k in mp.keyframes.values()
+                             if k.prev_kf == cand), None)
+                if prev is not None and succ is not None:
+                    gap = succ.timestamp - prev.timestamp
+                    if gap > (3.0 if mp.imu_ba2 else 0.5):
+                        continue
             kp_rows = np.where(kf.kp_mp >= 0)[0]
             if len(kp_rows) < 10:
                 continue
@@ -525,6 +703,12 @@ class LocalMapper:
             fixed_ids = {all_ids[-1]} if len(all_ids) > 2 else set()
         else:
             fixed_ids = set(all_ids) - set(local)
-        run_ba(
-            mp, all_ids, fixed_ids, self.project, self.inv_sigma2, n_iters=8
+        # reference LBA runs a 5-iteration first phase (Optimizer.cc:1698
+        # region); the window is small, so a short PCG budget suffices.
+        # Dispatched asynchronously (applied at the next keyframe) like
+        # the reference's concurrent mapping thread.
+        self._pending_ba = run_ba(
+            mp, all_ids, fixed_ids, self.project, self.inv_sigma2,
+            n_iters=5, cg_iters=25, async_apply=True,
         )
+        self._pending_ba_mid = mp.mid

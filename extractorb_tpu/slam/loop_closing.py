@@ -122,7 +122,12 @@ class LoopCloser:
             return False
         mid = mp.mid
         kf = mp.keyframes[kf_id]
-        covis = {k for k, _ in mp.covisible_keyframes(kf_id, 1)} | {kf_id}
+        # "connected" = the weight>=15 covisibility graph (reference
+        # KeyFrame::UpdateConnections threshold; KeyFrameDatabase
+        # excludes GetConnectedKeyFrames() from candidacy) — a weight-1
+        # exclusion would block every keyframe that shares a single
+        # point with the query, which on contiguous maps is all of them
+        covis = {k for k, _ in mp.covisible_keyframes(kf_id, 15)} | {kf_id}
 
         def covis_keys(key, _atlas=atlas, _mp=mp):
             """Covisibility group of a stored entry, as database keys
@@ -283,6 +288,37 @@ class LoopCloser:
             pairs.append((int(kp), int(cloud[row])))
         return pairs
 
+    def _search_by_sim3_mutual(self, mp: SLAMMap, cur, cand, Scw, Scm):
+        """SearchBySim3 (reference ORBmatcher.cc:1735): bidirectional
+        projection between the two keyframes through the Sim3 hypothesis
+        — cand's map points into cur AND cur's map points into cand —
+        keeping only mutually consistent keypoint pairs.  Returns
+        (cur kp, cand mp id) pairs."""
+        cloud2 = mp.points_seen_by([cand.kid])
+        cloud1 = mp.points_seen_by([cur.kid])
+        if len(cloud1) == 0 or len(cloud2) == 0:
+            return []
+        pairs_a = self._project_matches(mp, cur, cloud2, Scw, th=7.5)
+        # hypothesis-consistent world->cand Sim3: S_mc o T_cw
+        S_mc = lie.sim3_inverse(
+            jnp.asarray(Scm[0]), jnp.asarray(Scm[1]), jnp.float32(Scm[2])
+        )
+        S_mw = _sim3_compose(
+            np.asarray(S_mc[0]), np.asarray(S_mc[1]), float(S_mc[2]),
+            cur.R.astype(np.float32), cur.t.astype(np.float32), 1.0,
+        )
+        pairs_b = self._project_matches(mp, cand, cloud1, S_mw, th=7.5)
+        b = {kp2: pid1 for kp2, pid1 in pairs_b}
+        mutual = []
+        for kp1, pid2 in pairs_a:
+            kp2 = mp.obs.get(pid2, {}).get(cand.kid)
+            if kp2 is None or kp2 not in b:
+                continue
+            pid1 = b[kp2]
+            if mp.obs.get(pid1, {}).get(cur.kid) == kp1:
+                mutual.append((kp1, pid2))
+        return mutual
+
     # ------------------------------------------------------ verification
 
     def _detect_from_bow(self, mp: SLAMMap, kf_id: int, cand_id: int):
@@ -292,10 +328,14 @@ class LoopCloser:
         th_ = self.th
         cur = mp.keyframes[kf_id]
         cur_words = self._kf_words(mp, kf_id)
-        connected = {k for k, _ in mp.covisible_keyframes(kf_id, 1)}
+        connected = {k for k, _ in mp.covisible_keyframes(kf_id, 15)}
 
+        # candidate window = the candidate's top connected keyframes on
+        # the weight>=15 graph (reference GetBestCovisibilityKeyFrames;
+        # a weight-1 window would sweep in the whole map and trip
+        # bAbortByNearKF on every genuine revisit)
         cov_kfs = [cand_id] + [
-            k for k, _ in mp.covisible_keyframes(cand_id, 1)[:5]
+            k for k, _ in mp.covisible_keyframes(cand_id, 15)[:5]
         ]
         if any(k in connected for k in cov_kfs):
             return None  # bAbortByNearKF

@@ -215,6 +215,88 @@ class SLAMMap:
         level = int(kf.octave[kp])
         self.mp_max_dist[mp] = d * (self.scale_factor ** level)
 
+    def update_point_stats_batch(self, mids):
+        """Vectorized update_point_stats over many points at once: one
+        padded (P, Kmax) gather instead of P python loops (the KF
+        pipeline refreshes ~10^3 points per keyframe; per-point calls
+        were ~40% of the keyframe budget)."""
+        mids = np.unique(np.asarray(mids, np.int64))
+        mids = mids[(mids >= 0) & self.mp_valid[mids]]
+        obs_lists = [list(self.obs.get(int(m), {}).items()) for m in mids]
+        keep = np.asarray([len(o) > 0 for o in obs_lists], bool)
+        mids, obs_lists = mids[keep], [o for o, k in zip(obs_lists, keep) if k]
+        P = len(mids)
+        if P == 0:
+            return
+        kmax = max(len(o) for o in obs_lists)
+        # gather per-observation keyframe centers and descriptors
+        kf_ids = sorted({k for o in obs_lists for k, _ in o})
+        kf_row = {k: i for i, k in enumerate(kf_ids)}
+        centers = np.stack([self.keyframes[k].center() for k in kf_ids])
+        descs_by_kf = [self.keyframes[k].desc for k in kf_ids]
+        octs_by_kf = [self.keyframes[k].octave for k in kf_ids]
+
+        obs_kf = np.zeros((P, kmax), np.int32)
+        obs_kp = np.zeros((P, kmax), np.int32)
+        obs_ok = np.zeros((P, kmax), bool)
+        for i, o in enumerate(obs_lists):
+            for j, (k, kp) in enumerate(o):
+                obs_kf[i, j] = kf_row[k]
+                obs_kp[i, j] = kp
+                obs_ok[i, j] = True
+
+        pos = self.mp_pos[mids]                            # (P,3)
+        ctr = centers[obs_kf]                              # (P,K,3)
+        v = pos[:, None, :] - ctr
+        n = np.linalg.norm(v, axis=-1)
+        good = obs_ok & (n > 1e-9)
+        vn = np.where(good[..., None], v / np.maximum(n, 1e-9)[..., None], 0.0)
+        m = vn.sum(1)
+        nm = np.linalg.norm(m, axis=-1)
+        upd = nm > 1e-9
+        self.mp_normal[mids[upd]] = (m[upd] / nm[upd, None]).astype(np.float32)
+
+        # distinctive descriptor: min median Hamming among observations
+        D = np.zeros((P, kmax, 32), np.uint8)
+        for i, o in enumerate(obs_lists):
+            for j, (k, kp) in enumerate(o):
+                D[i, j] = descs_by_kf[kf_row[k]][kp]
+        bits = np.unpackbits(D.reshape(P * kmax, 32), axis=1).reshape(
+            P, kmax, 256
+        ).astype(np.int16)
+        dist = np.abs(bits[:, :, None, :] - bits[:, None, :, :]).sum(-1)
+        BIG = 10 ** 6
+        dist = np.where(obs_ok[:, :, None] & obs_ok[:, None, :], dist, BIG)
+        # median over the valid columns only: sort and index by count
+        cnt = obs_ok.sum(1)
+        ds = np.sort(dist, axis=2)
+        rows = np.arange(P)[:, None]
+        ks = np.arange(kmax)[None, :]
+        lo = ds[rows, ks, ((cnt - 1) // 2)[:, None]]
+        hi = ds[rows, ks, (cnt // 2)[:, None]]
+        med = 0.5 * (lo + hi)
+        med = np.where(obs_ok, med, BIG)
+        best = np.argmin(med, axis=1)
+        self.mp_desc[mids] = D[np.arange(P), best]
+
+        # max scale-invariance distance from the reference keyframe
+        ref = self.mp_first_kf[mids]
+        ref_j = np.zeros(P, np.int64)
+        for i, o in enumerate(obs_lists):
+            for j, (k, kp) in enumerate(o):
+                if k == ref[i]:
+                    ref_j[i] = j
+                    break
+        rkf = obs_kf[np.arange(P), ref_j]
+        rkp = obs_kp[np.arange(P), ref_j]
+        d = np.linalg.norm(pos - centers[rkf], axis=-1)
+        oct_arr = np.asarray(
+            [octs_by_kf[k][p] for k, p in zip(rkf, rkp)], np.int64
+        )
+        self.mp_max_dist[mids] = (
+            d * self.scale_factor ** oct_arr
+        ).astype(np.float32)
+
     def apply_scaled_rotation(self, Ryw: np.ndarray, s: float,
                               scale_vel: bool = True):
         """Reference Map::ApplyScaledRotation (inc/Map.h:122): re-express
@@ -235,6 +317,12 @@ class SLAMMap:
         self.mp_pos[:n] = s * (self.mp_pos[:n] @ Ryw.T)
         self.mp_normal[:n] = self.mp_normal[:n] @ Ryw.T
         self.mp_max_dist[:n] *= s
+        # tombstone relative transforms are rotation-invariant under a
+        # world re-expression but their translations carry the scale
+        self.dead_kfs = {
+            k: (pk, R_cp, (s * t_cp).astype(np.float32))
+            for k, (pk, R_cp, t_cp) in self.dead_kfs.items()
+        }
         self.version += 1
 
     # ------------------------------------------------------- covisibility

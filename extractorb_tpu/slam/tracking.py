@@ -603,6 +603,9 @@ class Tracker:
             self.state = TrackState.OK
             self.velocity = None
             self._frames_lost = 0
+            # the dead-reckoned velocity estimate is stale after a
+            # visual relocalization; re-seed it from visual tracking
+            frame.v = None
         else:
             if pred_Rt is not None:
                 # _relocalize writes candidate poses/matches into the
@@ -645,9 +648,9 @@ class Tracker:
             mid = mp.add_point(pos, frame.desc[i], np.zeros(3, np.float32),
                                1.0, kf.kid)
             mp.add_observation(mid, kf.kid, int(i))
-            mp.update_point_stats(mid)
             frame.kp_mp[i] = mid
             n_pts += 1
+        mp.update_point_stats_batch(frame.kp_mp[frame.kp_mp >= 0])
         if n_pts < 100:
             self._reset_map()
             self.last_frame = frame
@@ -835,7 +838,6 @@ class Tracker:
             mid = mp.add_point(pos, d, np.zeros(3, np.float32), 1.0, kf2.kid)
             mp.add_observation(mid, kf1.kid, int(i1))
             mp.add_observation(mid, kf2.kid, i2)
-            mp.update_point_stats(mid)
 
         # global BA on the 2-KF map (reference: 20 iters)
         local_mapping.run_ba(
@@ -856,8 +858,7 @@ class Tracker:
         inv_md = 1.0 / median_depth
         kf2.t = kf2.t * inv_md
         mp.mp_pos[valid_ids] *= inv_md
-        for mid in valid_ids:
-            mp.update_point_stats(int(mid))
+        mp.update_point_stats_batch(valid_ids)
 
         f2.R, f2.t = kf2.R.copy(), kf2.t.copy()
         f1.kp_mp = kf1.kp_mp
@@ -934,6 +935,7 @@ class Tracker:
         return out
 
     def _reset_map(self):
+        self.local_mapper.discard_ba()
         self.atlas.create_new_map()
         self._map_traj_start = len(self.trajectory)
         self.init_frame = None
@@ -1212,10 +1214,16 @@ class Tracker:
         frame.kp_mp[matches[rows]] = pt_ids[rows]
         mp.mp_visible[pt_ids[: k][mp_val[:k]]] += 1
 
-        if self._imu_ready(frame):
+        if self._imu_ready(frame) and self.state == TrackState.OK:
             # PoseInertialOptimizationLastFrame (reference
             # Optimizer.cc:7722); the IMU factor keeps tracking stable
-            # with fewer visual inliers (reference threshold 15)
+            # with fewer visual inliers (reference threshold 15).  Only
+            # when the previous frame tracked normally: after a
+            # relocalization / RECENTLY_LOST stretch the previous
+            # frame's state is IMU-dead-reckoned and an inertial edge
+            # to it would drag the solution off the map (the reference
+            # re-anchors on the keyframe after map updates for the same
+            # reason, Tracking.cc mbMapUpdated branch).
             ok = self._pose_opt_inertial(frame, min_inliers=15)
         else:
             ok = self._pose_opt(frame, min_inliers=30)
@@ -1426,7 +1434,33 @@ class Tracker:
             mp.imu_ba2 = True
         if done:
             # map was rotated/rescaled under us: refresh the frame state
-            # from its keyframe and drop the visual motion model
+            # from its keyframe and drop the visual motion model (and
+            # any in-flight async window BA, now stale)
+            self.local_mapper.discard_ba()
+            # re-express recorded trajectory segments of this map in the
+            # new world frame (reference Tracking::UpdateFrameIMU
+            # rescales mlRelativeFramePoses on scale change)
+            Ryw, s_up = done
+            for i, (ts_i, mid, kk, R_rel, t_rel) in enumerate(self.traj_rel):
+                if mid != mp.mid:
+                    continue
+                if kk >= 0:
+                    self.traj_rel[i] = (
+                        ts_i, mid, kk, R_rel,
+                        (s_up * t_rel).astype(np.float32),
+                    )
+                else:
+                    self.traj_rel[i] = (
+                        ts_i, mid, kk,
+                        (R_rel @ Ryw.T).astype(np.float32),
+                        (s_up * t_rel).astype(np.float32),
+                    )
+            for i in range(self._map_traj_start, len(self.trajectory)):
+                ts_i, R_i, t_i = self.trajectory[i]
+                self.trajectory[i] = (
+                    ts_i, (R_i @ Ryw.T).astype(np.float32),
+                    (s_up * t_i).astype(np.float32),
+                )
             kf = mp.keyframes[self._prev_kf_id]
             frame.R, frame.t = kf.R.copy(), kf.t.copy()
             frame.v = None if kf.v is None else kf.v.copy()
@@ -1441,13 +1475,15 @@ class Tracker:
         frame.ensure_host()
         kf = self._promote(frame, mp)
         self._attach_inertial(kf, frame)
+        touched = []
         for kp in np.where(kf.kp_mp >= 0)[0]:
             mid = int(kf.kp_mp[kp])
             if mp.mp_valid[mid]:
                 mp.add_observation(mid, kf.kid, int(kp))
-                mp.update_point_stats(mid)
+                touched.append(mid)
             else:
                 kf.kp_mp[kp] = INVALID
+        mp.update_point_stats_batch(touched)
         # Stereo/RGBD: unproject close unmatched keypoints into new map
         # points, nearest first, until 100 created or depth > thDepth
         # (reference CreateNewKeyFrame, Tracking.cc:2907 region).
@@ -1459,6 +1495,7 @@ class Tracker:
             cx, cy = self.K[0, 2], self.K[1, 2]
             Rcw, tcw = kf.R, kf.t
             n_created = 0
+            touched = []
             for i in order:
                 z = float(frame.depth[i])
                 if n_created >= 100 and z > self.th_depth:
@@ -1474,9 +1511,10 @@ class Tracker:
                 mid = mp.add_point(pos, frame.desc[i],
                                    np.zeros(3, np.float32), 1.0, kf.kid)
                 mp.add_observation(mid, kf.kid, int(i))
-                mp.update_point_stats(mid)
+                touched.append(mid)
                 kf.kp_mp[i] = mid
                 n_created += 1
+            mp.update_point_stats_batch(touched)
         self.ref_kf = kf.kid
         self.last_kf_frame_id = frame.frame_id
         # synchronous local mapping step (bounded work budget)
@@ -1487,7 +1525,9 @@ class Tracker:
         lc = self.loop_closer.process_keyframe(mp, kf.kid, atlas=self.atlas)
         if lc:
             # poses/points moved under us: drop the motion model and
-            # refresh the frame pose from the corrected keyframe
+            # refresh the frame pose from the corrected keyframe; any
+            # in-flight async window BA is now stale
+            self.local_mapper.discard_ba()
             self.velocity = None
             if isinstance(lc, dict) and lc.get("type") == "merge":
                 self._after_map_merge(lc, frame)

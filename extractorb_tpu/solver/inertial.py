@@ -424,6 +424,7 @@ def inertial_only(
     prior_a: float = 1e6,
     fix_scale: bool = False,
     n_iters: int = 30,
+    Rwg0=None,
 ):
     """InertialOptimization (src/Optimizer.cc:5142): with all body poses
     fixed, solve for gravity direction Rwg (2-DoF), scale, per-KF
@@ -433,6 +434,12 @@ def inertial_only(
     K = Rwb.shape[0]
     dtype = twb.dtype
     g0 = jnp.asarray([0.0, 0.0, -GRAVITY], dtype)
+    # data-driven gravity seed (reference LocalMapping.cc:1258 computes
+    # dirG from the preintegrated velocity deltas before optimising):
+    # the 2-DoF tangent step cannot travel ~90 deg from a cold start
+    # without collapsing the scale into a local minimum.
+    Rwg_seed = jnp.eye(3, dtype=dtype) if Rwg0 is None \
+        else jnp.asarray(Rwg0, dtype)
 
     idx_j = jnp.arange(K)
     idx_i = jnp.maximum(idx_j - 1, 0)
@@ -444,7 +451,9 @@ def inertial_only(
         bg = x[3:6]
         ba = x[6:9]
         v = x[9:].reshape(K, 3)
-        Rwg = lie.so3_exp(jnp.concatenate([theta, jnp.zeros(1, dtype)]))
+        Rwg = Rwg_seed @ lie.so3_exp(
+            jnp.concatenate([theta, jnp.zeros(1, dtype)])
+        )
         s = jnp.where(fix_scale, 1.0, jnp.exp(logs))
         return Rwg, s, bg, ba, v
 

@@ -56,8 +56,7 @@ for m in ["_make_frame", "_track_fused", "_track_existing", "_track_frame",
     wrap(trk.Tracker, m)
 for m in ["process_keyframe", "_cull_map_points", "_create_new_points",
           "_fuse_neighbors", "_local_ba", "_cull_keyframes",
-          "_assign_parent", "_triangulate_pairs", "_fuse_into",
-          "_median_depth"]:
+          "_assign_parent", "_apply_fuse", "_median_depth"]:
     wrap(lmm.LocalMapper, m)
 wrap(td.MapMirror, "sync")
 from extractorb_tpu.slam.map import SLAMMap

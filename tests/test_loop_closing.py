@@ -172,3 +172,43 @@ def test_false_loop_rejected(rng):
     for kid in sorted(mp.keyframes.keys()):
         assert not lc.process_keyframe(mp, kid), f"false loop at kf {kid}"
     assert lc.n_loops == 0
+
+
+def test_inertial_loop_preserves_gravity(rng):
+    """Inertial maps route loop correction through the 4-DoF essential
+    graph (reference Optimizer.cc:8153, call site LoopClosing.cc
+    inertial branch): the correction applied to every keyframe must be
+    yaw-only — roll/pitch (gravity alignment) survive exactly."""
+    from extractorb_tpu.config import IMUConfig
+    from extractorb_tpu.imu.calib import ImuCalib
+
+    mp, pts, desc = build_looped_map(rng)
+    mp.imu_initialized = True
+    pre = {k: (kf.R.copy(), kf.t.copy()) for k, kf in mp.keyframes.items()}
+
+    vocab = Vocabulary.train(desc, k=8, L=3, seed=0)
+    th = LoopThresholds(
+        n_proj_matches=50, n_proj_opt_matches=60, n_proj_rep=60,
+    )
+    lc = LoopCloser(vocab, project, thresholds=th,
+                    imu_calib=ImuCalib.from_config(IMUConfig()))
+
+    closed = False
+    for kid in sorted(mp.keyframes.keys()):
+        if lc.process_keyframe(mp, kid):
+            closed = True
+            break
+    assert closed, "loop not detected"
+
+    import jax.numpy as jnp
+    from extractorb_tpu.core import lie
+    for k, kf in mp.keyframes.items():
+        R0, _ = pre[k]
+        dR = R0 @ kf.R.T           # world-side correction rotation
+        w = np.asarray(lie.so3_log(jnp.asarray(dR.astype(np.float32))))
+        ang = np.linalg.norm(w)
+        if ang < 1e-5:
+            continue
+        axis = w / ang
+        # rotation axis must be the world z (gravity) axis: yaw only
+        assert abs(abs(axis[2]) - 1.0) < 1e-3, (k, axis, ang)

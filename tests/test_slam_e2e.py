@@ -61,8 +61,9 @@ def render_sequence(tex, n_frames=14):
     return frames, poses
 
 
-def umeyama_align(est, gt):
-    """Sim3 alignment (scale, R, t) of est onto gt; returns aligned est."""
+def umeyama_align(est, gt, return_scale=False):
+    """Sim3 alignment (scale, R, t) of est onto gt; returns aligned est
+    (and the recovered scale when return_scale)."""
     mu_e, mu_g = est.mean(0), gt.mean(0)
     xe, xg = est - mu_e, gt - mu_g
     cov = xg.T @ xe / len(est)
@@ -74,7 +75,10 @@ def umeyama_align(est, gt):
     var_e = (xe ** 2).sum() / len(est)
     s = np.trace(np.diag(D) @ S) / var_e
     t = mu_g - s * R @ mu_e
-    return (s * (R @ est.T)).T + t
+    aligned = (s * (R @ est.T)).T + t
+    if return_scale:
+        return aligned, s
+    return aligned
 
 
 @pytest.mark.slow
