@@ -305,12 +305,27 @@ class LocalMapper:
     def process_keyframe(self, mp: SLAMMap, kf_id: int):
         """ProcessNewKeyFrame + culling + CreateNewMapPoints +
         SearchInNeighbors fuse + local BA + KeyFrameCulling
-        (reference LocalMapping::Run body, :78-230)."""
+        (reference LocalMapping::Run body, :78-230).
+
+        The triangulation and fuse searches are DISPATCHED together and
+        fetched with one combined device_get: JAX dispatch is async, so
+        the two (or more, with capacity groups) programs overlap on
+        device and the host pays a single tunnel round trip.  The fuse
+        therefore projects the PRE-triangulation point set — new points
+        created this keyframe get fused from the next keyframe instead
+        (a one-keyframe delay vs the reference's ordering; duplicates
+        are still merged, one keyframe later)."""
         self.flush_ba(mp)
         self._assign_parent(mp, kf_id)
         self._cull_map_points(mp)
-        self._create_new_points(mp, kf_id)
-        self._fuse_neighbors(mp, kf_id)
+        tri = self._create_new_points_dispatch(mp, kf_id)
+        fuse = self._fuse_dispatch(mp, kf_id)
+        fetched = jax.device_get([
+            [g[-1] for g in tri],
+            [g[-1] for g in fuse],
+        ])
+        self._create_new_points_apply(mp, kf_id, tri, fetched[0])
+        self._fuse_apply_all(mp, fuse, fetched[1])
         self._local_ba(mp, kf_id)
         self._cull_keyframes(mp, kf_id)
 
@@ -347,17 +362,13 @@ class LocalMapper:
                 still.append(p)
         self.recent_points = still
 
-    def _create_new_points(self, mp: SLAMMap, kf_id: int, n_neighbors: int = 10):
-        """CreateNewMapPoints (reference :383): epipolar-gated matching
-        with covisible neighbours + triangulation.
-
-        All neighbour searches + triangulations + acceptance checks run
-        as ONE device program (vmapped over the neighbour axis): on a
-        remote TPU each dispatch costs ~30 ms, so the reference's
-        sequential per-neighbour loop is latency-bound, not
-        compute-bound.  Keypoint claims are resolved on the host in
-        neighbour order (first neighbour wins), which matches the
-        sequential reference semantics for kf1's side."""
+    def _create_new_points_dispatch(self, mp: SLAMMap, kf_id: int,
+                                    n_neighbors: int = 10):
+        """CreateNewMapPoints device stage (reference :383): epipolar
+        search + DLT triangulation + acceptance checks over the
+        covisible neighbours, one vmapped program per neighbour
+        capacity group.  Returns [(group kfs, device outputs)] without
+        blocking."""
         kf1 = mp.keyframes[kf_id]
         neighbors = [k for k, _ in mp.covisible_keyframes(kf_id, 1)[:n_neighbors]]
         O1 = kf1.center()
@@ -370,11 +381,11 @@ class LocalMapper:
             if med_depth > 0 and baseline / med_depth >= 0.01:
                 use.append(kf2)
         if not use:
-            return
+            return []
         P1 = (self.K @ np.concatenate([kf1.R, kf1.t[:, None]], 1)).astype(
             np.float32
         )
-        created = []
+        out = []
         # neighbour keyframes may have different keypoint capacities
         # (the init extractor runs at 5x): one program per capacity group
         groups = {}
@@ -404,7 +415,7 @@ class LocalMapper:
             prog = _triangulation_program(
                 tuple(self.scale_factors), tuple(self.inv_sigma2), B, N2
             )
-            m12B, XB, okB = jax.device_get(prog(
+            res = prog(
                 kf1.feats.desc, jnp.asarray(kf1.xy_un), kf1.feats.octave,
                 jnp.asarray(free1),
                 desc2, jnp.asarray(xy2), oct2, jnp.asarray(free2),
@@ -418,9 +429,19 @@ class LocalMapper:
                     [self.K[0, 0], self.K[1, 1], self.K[0, 2],
                      self.K[1, 2]], np.float32,
                 )),
-            ))
-            for b in range(n_real):
-                kf2 = grp[b]
+            )
+            out.append((grp[:n_real], res))
+        return out
+
+    def _create_new_points_apply(self, mp: SLAMMap, kf_id: int,
+                                 dispatched, fetched):
+        """Host side of CreateNewMapPoints: claim keypoints (first
+        neighbour wins, matching the reference's sequential order) and
+        create the accepted points."""
+        kf1 = mp.keyframes[kf_id]
+        created = []
+        for (grp, _), (m12B, XB, okB) in zip(dispatched, fetched):
+            for b, kf2 in enumerate(grp):
                 rows = np.where(okB[b])[0]
                 for i1 in rows:
                     i2 = int(m12B[b, i1])
@@ -459,16 +480,16 @@ class LocalMapper:
         Kinv = np.linalg.inv(self.K)
         return Kinv.T @ tx @ R12 @ Kinv
 
-    def _fuse_neighbors(self, mp: SLAMMap, kf_id: int, n_neighbors: int = 10):
-        """SearchInNeighbors (reference LocalMapping.cc:729): project the
-        covisible neighbours' map points into the new keyframe and attach
-        or merge; then the symmetric pass.  All B+1 projection searches
-        run as ONE vmapped device program (dispatch-latency bound on
-        remote TPU backends)."""
+    def _fuse_dispatch(self, mp: SLAMMap, kf_id: int,
+                       n_neighbors: int = 10):
+        """SearchInNeighbors device stage (reference LocalMapping.cc:729):
+        all B+1 projection searches dispatched as vmapped programs (one
+        per target-capacity group) without blocking.  Returns
+        [(jobs, device matches)]."""
         kf1 = mp.keyframes[kf_id]
         neighbors = [k for k, _ in mp.covisible_keyframes(kf_id, 1)[:n_neighbors]]
         if not neighbors:
-            return
+            return []
         M = 4096
         own = mp.points_seen_by([kf_id])
         jobs = []  # (target_kf_id, pt_ids)
@@ -486,13 +507,16 @@ class LocalMapper:
             if len(pt_ids):
                 filt.append((tgt, pt_ids))
         if not filt:
-            return
-        # group by target keyframe capacity (init KFs run at 5x)
+            return []
+        # group by target keyframe capacity (init KFs run at 5x); the
+        # dominant cost is the per-dispatch tunnel round trip, so fewer
+        # larger programs beat many tight ones
         by_cap = {}
         for tgt, pt_ids in filt:
             by_cap.setdefault(len(mp.keyframes[tgt].valid), []).append(
                 (tgt, pt_ids)
             )
+        out = []
         for N, jobs in by_cap.items():
             n_real = len(jobs)
             B = _bucket_b(n_real)
@@ -526,15 +550,22 @@ class LocalMapper:
 
             prog = _fuse_program(self.project, tuple(self.scale_factors),
                                  B, M, N)
-            matchesB = np.asarray(jax.device_get(prog(
+            matchesB = prog(
                 jnp.asarray(posB), jnp.asarray(descB), jnp.asarray(valB),
                 jnp.asarray(normB), jnp.asarray(maxdB),
                 jnp.asarray(R_B), jnp.asarray(t_B),
                 jnp.asarray(xyB), jnp.stack(kdescB), jnp.stack(koctB),
                 jnp.asarray(kvalidB),
-            )))
+            )
+            out.append((jobs, matchesB))
+        return out
+
+    def _fuse_apply_all(self, mp: SLAMMap, dispatched, fetched):
+        for (jobs, _), matchesB in zip(dispatched, fetched):
             for j, (tgt, pt_ids) in enumerate(jobs):
-                self._apply_fuse(mp, tgt, pt_ids, matchesB[j])
+                if tgt in mp.keyframes:
+                    self._apply_fuse(mp, tgt, pt_ids,
+                                     np.asarray(matchesB[j]))
 
     def _apply_fuse(self, mp: SLAMMap, kf_id: int, pt_ids: np.ndarray,
                     matches: np.ndarray):

@@ -466,15 +466,24 @@ class Tracker:
             blk.ids_dev, blk.pos, blk.desc, blk.norm, blk.maxd, blk.val,
             jnp.asarray(R_pred), jnp.asarray(t_pred),
         )
-        R, t, kp_mp, n_match, n1, n2, lm_searched = jax.device_get(
+        # ONE device fetch per frame: tracking outputs plus the host
+        # copies of the feature arrays (~60 KB extra — negligible next
+        # to the tunnel round trip this saves on every keyframe's
+        # ensure_host)
+        (R, t, kp_mp, n_match, n1, n2, lm_searched,
+         h_un, h_oct, h_ang, h_desc, h_val) = jax.device_get(
             (out.R, out.t, out.kp_mp, out.n_match_motion, out.n_inl_motion,
-             out.n_inl_final, out.lm_searched)
+             out.n_inl_final, out.lm_searched,
+             out.xy_un, out.feats.octave, out.feats.angle, out.feats.desc,
+             out.feats.valid)
         )
         frame = Frame(
             frame_id=self._next_frame_id, timestamp=ts, feats=out.feats,
-            xy_un=None, octave=None, angle=None, desc=None, valid=None,
+            xy_un=np.asarray(h_un, np.float32), octave=np.asarray(h_oct),
+            angle=np.asarray(h_ang), desc=np.asarray(h_desc),
+            valid=np.asarray(h_val),
             kp_mp=np.asarray(kp_mp).copy(), un_dev=out.xy_un,
-            kp_mp_dev=out.kp_mp, host_ready=False,
+            kp_mp_dev=out.kp_mp, host_ready=True,
         )
         self._next_frame_id += 1
         frame.R = np.asarray(R).copy()

@@ -52,11 +52,42 @@ def wrap(cls, name):
 for m in ["_make_frame", "_track_fused", "_track_existing", "_track_frame",
           "_track_with_motion_model", "_track_reference_keyframe",
           "_track_local_map", "_pose_opt", "_create_keyframe",
-          "_monocular_initialization", "_need_new_keyframe", "_promote"]:
+          "_monocular_initialization", "_need_new_keyframe", "_promote",
+          "_create_initial_map"]:
     wrap(trk.Tracker, m)
-for m in ["process_keyframe", "_cull_map_points", "_create_new_points",
-          "_fuse_neighbors", "_local_ba", "_cull_keyframes",
-          "_assign_parent", "_apply_fuse", "_median_depth"]:
+from extractorb_tpu.slam.tracking import Frame
+wrap(Frame, "ensure_host")
+import extractorb_tpu.geometry.two_view as tvv
+for fn in ["reconstruct"]:
+    if hasattr(tvv, fn):
+        orig = getattr(tvv, fn)
+        def mk2(o, nm):
+            def f(*a, **kw):
+                t0 = time.perf_counter()
+                try:
+                    return o(*a, **kw)
+                finally:
+                    if enabled[0]:
+                        acc[nm] += time.perf_counter() - t0
+                        cnt[nm] += 1
+            return f
+        setattr(tvv, fn, mk2(orig, fn))
+orig_blb = td.build_local_block
+def blb(*a, **kw):
+    t0 = time.perf_counter()
+    try:
+        return orig_blb(*a, **kw)
+    finally:
+        if enabled[0]:
+            acc["build_local_block"] += time.perf_counter() - t0
+            cnt["build_local_block"] += 1
+td.build_local_block = blb
+trk.td.build_local_block = blb
+for m in ["process_keyframe", "_cull_map_points",
+          "_create_new_points_dispatch", "_create_new_points_apply",
+          "_fuse_dispatch", "_fuse_apply_all", "_local_ba",
+          "_cull_keyframes", "_assign_parent", "_apply_fuse",
+          "_median_depth"]:
     wrap(lmm.LocalMapper, m)
 wrap(td.MapMirror, "sync")
 from extractorb_tpu.slam.map import SLAMMap
