@@ -120,6 +120,60 @@ def _get_kf(z, p: str, kid: int) -> KeyFrame:
     )
 
 
+def _put_frame(blobs: dict, p: str, lf):
+    """Serialize a live Frame (last frame / init frame) with its RAW
+    keypoint fields — xy/response/size are what motion matching uses, so
+    resuming a distorted-lens session must not substitute xy_un."""
+    lf.ensure_host()
+    blobs[f"{p}_meta"] = np.asarray([lf.frame_id, lf.timestamp], np.float64)
+    blobs[f"{p}_xy_un"] = lf.xy_un
+    blobs[f"{p}_octave"] = lf.octave
+    blobs[f"{p}_angle"] = lf.angle
+    blobs[f"{p}_desc"] = lf.desc
+    blobs[f"{p}_valid"] = lf.valid
+    blobs[f"{p}_kp_mp"] = lf.kp_mp
+    blobs[f"{p}_xy"] = np.asarray(lf.feats.xy)
+    blobs[f"{p}_resp"] = np.asarray(lf.feats.response)
+    blobs[f"{p}_size"] = np.asarray(lf.feats.size)
+    _put_opt(blobs, f"{p}_R", lf.R)
+    _put_opt(blobs, f"{p}_t", lf.t)
+    _put_opt(blobs, f"{p}_ur", lf.ur)
+    _put_opt(blobs, f"{p}_depth", lf.depth)
+    _put_opt(blobs, f"{p}_v", lf.v)
+    _put_opt(blobs, f"{p}_bg", lf.bg)
+    _put_opt(blobs, f"{p}_ba", lf.ba)
+    _put_preint(blobs, p, lf.preint_frame)
+
+
+def _get_frame(z, p: str, Frame):
+    from ..frontend.extractor import Features as F
+
+    n_cap = len(z[f"{p}_valid"])
+    raw_xy = z[f"{p}_xy"] if f"{p}_xy" in z else z[f"{p}_xy_un"]
+    resp = z[f"{p}_resp"] if f"{p}_resp" in z else np.zeros(n_cap)
+    size = z[f"{p}_size"] if f"{p}_size" in z else np.full(n_cap, 31.0)
+    feats = F(
+        xy=jnp.asarray(raw_xy),
+        response=jnp.asarray(resp),
+        angle=jnp.asarray(z[f"{p}_angle"]),
+        octave=jnp.asarray(z[f"{p}_octave"]),
+        size=jnp.asarray(size),
+        desc=jnp.asarray(z[f"{p}_desc"]),
+        valid=jnp.asarray(z[f"{p}_valid"]),
+    )
+    return Frame(
+        frame_id=int(z[f"{p}_meta"][0]), timestamp=float(z[f"{p}_meta"][1]),
+        feats=feats, xy_un=np.asarray(z[f"{p}_xy_un"]),
+        octave=np.asarray(z[f"{p}_octave"]),
+        angle=np.asarray(z[f"{p}_angle"]), desc=np.asarray(z[f"{p}_desc"]),
+        valid=np.asarray(z[f"{p}_valid"]), kp_mp=z[f"{p}_kp_mp"].copy(),
+        R=_get_opt(z, f"{p}_R"), t=_get_opt(z, f"{p}_t"),
+        ur=_get_opt(z, f"{p}_ur"), depth=_get_opt(z, f"{p}_depth"),
+        v=_get_opt(z, f"{p}_v"), bg=_get_opt(z, f"{p}_bg"),
+        ba=_get_opt(z, f"{p}_ba"), preint_frame=_get_preint(z, p),
+    )
+
+
 def _put_map(blobs: dict, p: str, mp: SLAMMap):
     n = mp._next_mp
     kf_ids = sorted(mp.keyframes.keys())
@@ -242,26 +296,15 @@ def save_session(tracker, path: str):
         )
         blobs["trel_R"] = np.stack([R for _, _, _, R, _ in st.traj_rel])
         blobs["trel_t"] = np.stack([t for _, _, _, _, t in st.traj_rel])
-    lf = st.last_frame
-    if lf is not None:
-        lf.ensure_host()
-        blobs["lf_meta"] = np.asarray(
-            [lf.frame_id, lf.timestamp], np.float64
-        )
-        blobs["lf_xy_un"] = lf.xy_un
-        blobs["lf_octave"] = lf.octave
-        blobs["lf_angle"] = lf.angle
-        blobs["lf_desc"] = lf.desc
-        blobs["lf_valid"] = lf.valid
-        blobs["lf_kp_mp"] = lf.kp_mp
-        _put_opt(blobs, "lf_R", lf.R)
-        _put_opt(blobs, "lf_t", lf.t)
-        _put_opt(blobs, "lf_ur", lf.ur)
-        _put_opt(blobs, "lf_depth", lf.depth)
-        _put_opt(blobs, "lf_v", lf.v)
-        _put_opt(blobs, "lf_bg", lf.bg)
-        _put_opt(blobs, "lf_ba", lf.ba)
-        _put_preint(blobs, "lf", lf.preint_frame)
+    if st.last_frame is not None:
+        _put_frame(blobs, "lf", st.last_frame)
+    # mid-monocular-initialization state: without these, a session
+    # saved between the two init frames would silently restart
+    # initialization on resume
+    if st.init_frame is not None:
+        _put_frame(blobs, "if", st.init_frame)
+    if st.prev_matched is not None:
+        blobs["prev_matched"] = st.prev_matched
     if st.imu_queue is not None:
         t, g, a = st.imu_queue.snapshot()
         blobs["imuq_t"] = t
@@ -319,29 +362,11 @@ def load_session(path: str, cfg, vocab=None):
             for m, R, t in zip(z["trel_meta"], z["trel_R"], z["trel_t"])
         ]
     if "lf_meta" in z:
-        n_cap = len(z["lf_valid"])
-        from ..frontend.extractor import Features as F
-
-        feats = F(
-            xy=jnp.asarray(z["lf_xy_un"]),
-            response=jnp.zeros(n_cap),
-            angle=jnp.asarray(z["lf_angle"]),
-            octave=jnp.asarray(z["lf_octave"]),
-            size=jnp.full(n_cap, 31.0),
-            desc=jnp.asarray(z["lf_desc"]),
-            valid=jnp.asarray(z["lf_valid"]),
-        )
-        tr.last_frame = Frame(
-            frame_id=int(z["lf_meta"][0]), timestamp=float(z["lf_meta"][1]),
-            feats=feats, xy_un=np.asarray(z["lf_xy_un"]),
-            octave=np.asarray(z["lf_octave"]),
-            angle=np.asarray(z["lf_angle"]), desc=np.asarray(z["lf_desc"]),
-            valid=np.asarray(z["lf_valid"]), kp_mp=z["lf_kp_mp"].copy(),
-            R=_get_opt(z, "lf_R"), t=_get_opt(z, "lf_t"),
-            ur=_get_opt(z, "lf_ur"), depth=_get_opt(z, "lf_depth"),
-            v=_get_opt(z, "lf_v"), bg=_get_opt(z, "lf_bg"),
-            ba=_get_opt(z, "lf_ba"), preint_frame=_get_preint(z, "lf"),
-        )
+        tr.last_frame = _get_frame(z, "lf", Frame)
+    if "if_meta" in z:
+        tr.init_frame = _get_frame(z, "if", Frame)
+    if "prev_matched" in z:
+        tr.prev_matched = np.asarray(z["prev_matched"]).copy()
     if tr.imu_queue is not None and "imuq_t" in z:
         tr.imu_queue.restore(
             np.asarray(z["imuq_t"]), np.asarray(z["imuq_gyro"]),

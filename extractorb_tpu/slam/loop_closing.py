@@ -419,6 +419,16 @@ class LoopCloser:
         if len(pairs) < th_.n_proj_matches:
             return None
 
+        # SearchBySim3 mutual KF<->KF expansion (reference
+        # ORBmatcher.cc:1735, ComputeSim3 flow): bidirectionally
+        # consistent pairs between the two keyframes raise the match
+        # recall going into the Sim3 refine
+        have = {kp for kp, _ in pairs}
+        for kp, pid in self._search_by_sim3_mutual(mp, cur, cand, Scw, Scm):
+            if kp not in have:
+                have.add(kp)
+                pairs.append((kp, pid))
+
         # OptimizeSim3 refine on the projected matches
         Scm_opt = self._optimize_scm(mp, cur, cand, pairs, Scm)
         if Scm_opt is None:

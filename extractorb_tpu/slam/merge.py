@@ -118,6 +118,22 @@ def merge_maps(
             kf.kp_mp.dtype,
         )
 
+    # ---- transfer dead-keyframe tombstones under FRESH ids: kf ids are
+    # per-map counters, so reusing the dropped map's ids verbatim could
+    # silently clobber an existing kept-map tombstone.  Relative
+    # transforms are rotation-invariant under the world Sim3; their
+    # translations carry the scale (same convention as
+    # SLAMMap.apply_scaled_rotation).
+    dead_remap: Dict[int, int] = {}
+    for k in sorted(drop.dead_kfs):
+        dead_remap[k] = keep._next_kf
+        keep._next_kf += 1
+    for k, (pk, R_cp, t_cp) in drop.dead_kfs.items():
+        new_pk = kf_remap.get(pk, dead_remap.get(pk, -1))
+        keep.dead_kfs[dead_remap[k]] = (
+            new_pk, R_cp, (sw * t_cp).astype(F32)
+        )
+
     # inertial flags: welded map is initialised if either side was
     keep.imu_initialized = keep.imu_initialized or drop.imu_initialized
     keep.imu_ba1 = keep.imu_ba1 or drop.imu_ba1
@@ -137,7 +153,7 @@ def merge_maps(
         "kf_cur": kf_remap[kf_drop_id],
         "kf_matched": kf_keep_id,
         "dropped_mid": drop.mid,
-        "dead_kfs": drop.dead_kfs,
+        "dead_remap": dead_remap,
     }
 
 

@@ -917,10 +917,18 @@ class Tracker:
         walking tombstones of culled keyframes up the spanning tree
         (reference KeyFrame::SetBadFlag stores mTcp for this)."""
         out = []
-        for ts, mid, kf_id, R_rel, t_rel in self.traj_rel:
+        for i, (ts, mid, kf_id, R_rel, t_rel) in enumerate(self.traj_rel):
             mp = self.atlas.map_by_mid(mid)
-            if mp is None or kf_id < 0:
+            if kf_id < 0:
                 out.append((ts, R_rel, t_rel))
+                continue
+            if mp is None:
+                # map was dropped and the entry never re-expressed
+                # (stale reference): degrade to the absolute pose we
+                # recorded live rather than emitting a relative
+                # transform as if it were a pose
+                _, Ra, ta = self.trajectory[i]
+                out.append((ts, Ra, ta))
                 continue
             R_acc, t_acc = R_rel, t_rel
             k = kf_id
@@ -934,7 +942,8 @@ class Tracker:
                 guard += 1
             kf = mp.keyframes.get(k)
             if kf is None:
-                out.append((ts, R_rel, t_rel))
+                _, Ra, ta = self.trajectory[i]
+                out.append((ts, Ra, ta))
             else:
                 out.append((
                     ts,
@@ -985,24 +994,28 @@ class Tracker:
         # the frame-to-keyframe relative translation scales by sw)
         dropped_mid = info["dropped_mid"]
         kept_mid = mp.mid
+        dead_remap = info.get("dead_remap", {})
         for i, (ts, mid, k, R_rel, t_rel) in enumerate(self.traj_rel):
             if mid != dropped_mid:
                 continue
-            if k >= 0 and k in remap:
+            nk = remap.get(k, dead_remap.get(k, -1)) if k >= 0 else -1
+            if nk >= 0:
                 self.traj_rel[i] = (
-                    ts, kept_mid, remap[k], R_rel,
+                    ts, kept_mid, nk, R_rel,
                     (sw * t_rel).astype(np.float32),
                 )
             elif k < 0:
+                # absolute entry: re-express through the world Sim3
                 Rn = (R_rel @ Rw.T).astype(np.float32)
                 tn = (sw * t_rel - Rn @ tw).astype(np.float32)
                 self.traj_rel[i] = (ts, kept_mid, -1, Rn, tn)
-        # tombstones of the dropped map move over with remapped ids
-        drop_dead = info.get("dead_kfs", {})
-        for k, (pk, R_cp, t_cp) in drop_dead.items():
-            if pk in remap:
-                mp.dead_kfs[remap.get(k, k)] = (
-                    remap[pk], R_cp, (sw * t_cp).astype(np.float32)
+            else:
+                # reference keyframe unknown to both remaps (should not
+                # happen: culls always leave tombstones) — fall back to
+                # the already-corrected absolute trajectory entry
+                _, Ra, ta = self.trajectory[i]
+                self.traj_rel[i] = (
+                    ts, kept_mid, -1, Ra.copy(), ta.copy()
                 )
 
     def _promote(self, f: Frame, mp: SLAMMap) -> KeyFrame:
