@@ -131,6 +131,14 @@ class TrackingConfig:
     grid_cols: int = 64             # FRAME_GRID_COLS (inc/Frame.h:39)
     grid_rows: int = 48             # FRAME_GRID_ROWS (inc/Frame.h:40)
     max_frame_kps: int = 2048       # padded per-frame keypoint capacity
+    # Fused-path software pipelining: number of frames tracked ahead of
+    # confirmation.  0 = synchronous (each track_* call settles before
+    # returning).  K>0 = the tracker dispatches up to K+1 chained device
+    # programs before paying one host round trip for all of them;
+    # states/poses for in-flight frames are reported optimistically and
+    # corrected at the next confirmation (Tracker.flush drains).  The
+    # analog of the reference's decoupled tracking/mapping threads.
+    pipeline_depth: int = 0
     # Map capacities (ring-buffer style, static shapes).
     max_keyframes: int = 512
     max_map_points: int = 32768

@@ -263,7 +263,9 @@ def save_session(tracker, path: str):
     and the tracking-thread resume state."""
     blobs: dict = {}
     atlas = tracker.atlas
-    # land any in-flight async window BA before serializing poses
+    # settle in-flight pipelined frames and any async window BA before
+    # serializing poses
+    tracker.flush()
     tracker.local_mapper.flush_ba(atlas.current)
     blobs["n_maps"] = np.asarray([len(atlas.maps)])
     blobs["active"] = np.asarray([atlas.active])

@@ -287,6 +287,13 @@ class LocalMapper:
         # keyframe, discarded when a loop/merge/IMU-init rewrote poses
         self._pending_ba: Optional[PendingBA] = None
         self._pending_ba_mid = -1
+        # deferred triangulation+fuse results (defer_fetch mode): the
+        # device programs were dispatched at the keyframe event; the
+        # fetch rides on the tracker's next confirmation round trip
+        self._pending_tf = None  # (mid, kf_id, tri, fuse)
+        # notifier: the tracker uses this to learn when the deferred
+        # results became visible (gates its weak-tracking KF trigger)
+        self.on_tf_applied = None
 
     def flush_ba(self, mp: SLAMMap):
         """Apply the in-flight window BA, if any (and still valid)."""
@@ -296,13 +303,52 @@ class LocalMapper:
             p.apply(mp)
 
     def discard_ba(self):
-        """Drop the in-flight window BA (map poses were rewritten by a
-        loop correction / merge / gravity alignment underneath it)."""
+        """Drop the in-flight window BA and deferred triangulation/fuse
+        results (map poses were rewritten by a loop correction / merge /
+        gravity alignment underneath them)."""
         self._pending_ba = None
+        self._pending_tf = None
+
+    # ---- deferred triangulation/fuse (fetch rides the next confirm)
+
+    def pending_tf_handles(self):
+        """Device arrays of the deferred triangulation+fuse results, for
+        piggybacking on another device_get.  [] when nothing pending."""
+        if self._pending_tf is None:
+            return []
+        _, _, tri, fuse = self._pending_tf
+        return [[g[-1] for g in tri], [g[-1] for g in fuse]]
+
+    def apply_tf(self, mp: SLAMMap, fetched):
+        """Apply deferred triangulation+fuse with already-fetched host
+        values (the pending_tf_handles structure)."""
+        if self._pending_tf is None:
+            return
+        mid, kf_id, tri, fuse = self._pending_tf
+        self._pending_tf = None
+        if mid == mp.mid and kf_id in mp.keyframes:
+            self._create_new_points_apply(mp, kf_id, tri, fetched[0])
+            self._fuse_apply_all(mp, fuse, fetched[1])
+            # window BA dispatched NOW so the problem includes the
+            # just-landed points — without this, the fresh unrefined
+            # triangulations dominate pose optimization for a whole
+            # keyframe interval and the pose walks off (sync mode runs
+            # the LBA after the applies for the same reason)
+            self._local_ba(mp, kf_id)
+        if self.on_tf_applied is not None:
+            self.on_tf_applied()
+
+    def flush_tf(self, mp: SLAMMap):
+        """Fetch + apply deferred triangulation/fuse, if any."""
+        if self._pending_tf is None:
+            return
+        fetched = jax.device_get(self.pending_tf_handles())
+        self.apply_tf(mp, fetched)
 
     # ----------------------------------------------------------- pipeline
 
-    def process_keyframe(self, mp: SLAMMap, kf_id: int):
+    def process_keyframe(self, mp: SLAMMap, kf_id: int,
+                         defer_fetch: bool = False):
         """ProcessNewKeyFrame + culling + CreateNewMapPoints +
         SearchInNeighbors fuse + local BA + KeyFrameCulling
         (reference LocalMapping::Run body, :78-230).
@@ -315,18 +361,27 @@ class LocalMapper:
         created this keyframe get fused from the next keyframe instead
         (a one-keyframe delay vs the reference's ordering; duplicates
         are still merged, one keyframe later)."""
+        self.flush_tf(mp)
         self.flush_ba(mp)
         self._assign_parent(mp, kf_id)
         self._cull_map_points(mp)
         tri = self._create_new_points_dispatch(mp, kf_id)
         fuse = self._fuse_dispatch(mp, kf_id)
-        fetched = jax.device_get([
-            [g[-1] for g in tri],
-            [g[-1] for g in fuse],
-        ])
-        self._create_new_points_apply(mp, kf_id, tri, fetched[0])
-        self._fuse_apply_all(mp, fuse, fetched[1])
-        self._local_ba(mp, kf_id)
+        if defer_fetch:
+            # the fetch rides the tracker's next confirmation round trip
+            # (one keyframe-pipeline latency, like the reference's
+            # LocalMapping queue); this keyframe event pays only the
+            # dispatch enqueues.  The window BA is dispatched by
+            # apply_tf when the new points land.
+            self._pending_tf = (mp.mid, kf_id, tri, fuse)
+        else:
+            fetched = jax.device_get([
+                [g[-1] for g in tri],
+                [g[-1] for g in fuse],
+            ])
+            self._create_new_points_apply(mp, kf_id, tri, fetched[0])
+            self._fuse_apply_all(mp, fuse, fetched[1])
+            self._local_ba(mp, kf_id)
         self._cull_keyframes(mp, kf_id)
 
     def _assign_parent(self, mp: SLAMMap, kf_id: int):
@@ -438,10 +493,14 @@ class LocalMapper:
         """Host side of CreateNewMapPoints: claim keypoints (first
         neighbour wins, matching the reference's sequential order) and
         create the accepted points."""
-        kf1 = mp.keyframes[kf_id]
+        kf1 = mp.keyframes.get(kf_id)
+        if kf1 is None:
+            return
         created = []
         for (grp, _), (m12B, XB, okB) in zip(dispatched, fetched):
             for b, kf2 in enumerate(grp):
+                if kf2.kid not in mp.keyframes:
+                    continue  # culled while the fetch was deferred
                 rows = np.where(okB[b])[0]
                 for i1 in rows:
                     i2 = int(m12B[b, i1])
@@ -561,16 +620,22 @@ class LocalMapper:
         return out
 
     def _fuse_apply_all(self, mp: SLAMMap, dispatched, fetched):
+        touched = []
         for (jobs, _), matchesB in zip(dispatched, fetched):
             for j, (tgt, pt_ids) in enumerate(jobs):
                 if tgt in mp.keyframes:
-                    self._apply_fuse(mp, tgt, pt_ids,
-                                     np.asarray(matchesB[j]))
+                    touched.extend(self._apply_fuse(
+                        mp, tgt, pt_ids, np.asarray(matchesB[j]),
+                        defer_stats=True,
+                    ))
+        mp.update_point_stats_batch(touched)
 
     def _apply_fuse(self, mp: SLAMMap, kf_id: int, pt_ids: np.ndarray,
-                    matches: np.ndarray):
+                    matches: np.ndarray, defer_stats: bool = False):
         """Attach-or-merge the accepted projections (reference
-        ORBmatcher::Fuse tail, ORBmatcher.cc:2028 region)."""
+        ORBmatcher::Fuse tail, ORBmatcher.cc:2028 region).  Returns the
+        touched point ids; with ``defer_stats`` the caller batches the
+        stats refresh across jobs."""
         kf = mp.keyframes[kf_id]
         touched = []
         for row in np.where(matches >= 0)[0]:
@@ -600,7 +665,9 @@ class LocalMapper:
             else:
                 mp.add_observation(p, kf_id, kp)
                 touched.append(p)
-        mp.update_point_stats_batch(touched)
+        if not defer_stats:
+            mp.update_point_stats_batch(touched)
+        return touched
 
     def _cull_keyframes(self, mp: SLAMMap, kf_id: int):
         """KeyFrameCulling (reference :935): a covisible keyframe is

@@ -79,7 +79,13 @@ class System:
     def state(self) -> TrackState:
         return self.tracker.state
 
+    def flush(self):
+        """Settle in-flight pipelined frames (tracking.pipeline_depth >
+        0): states, trajectory rows, and pending keyframe decisions."""
+        self.tracker.flush()
+
     def current_pose(self):
+        self.tracker.flush()
         f = self.tracker.last_frame
         if f is None or f.R is None:
             return None

@@ -99,6 +99,8 @@ class FusedOut(NamedTuple):
     n_inl_motion: jnp.ndarray     # () int32 pose-opt-1 inliers
     n_inl_final: jnp.ndarray      # () int32 pose-opt-2 inliers
     lm_searched: jnp.ndarray      # (M,) bool local points actually searched
+    used_ref: jnp.ndarray         # () bool: ref-KF fallback branch taken
+    n_pre: jnp.ndarray            # () int32 inliers entering local search
 
 
 class TrackStep:
@@ -140,11 +142,23 @@ class TrackStep:
         last_kp_mp,              # (N,) int32 previous associations
         map_pos, map_valid,      # (CAP,3) f32 / (CAP,) bool  device mirror
         lm_ids, lm_pos, lm_desc, lm_norm, lm_maxd, lm_val,  # (M,...) local block
-        R_pred, t_pred,          # predicted pose (motion model)
+        ref_desc, ref_valid, ref_kp_mp,  # reference-KF block (fallback)
+        R_last, t_last,          # previous frame pose (device chainable)
+        R_prev, t_prev,          # frame before that (for the velocity)
     ) -> FusedOut:
         N = self.capacity
         CAP = self.map_cap
         inv_sig = jnp.asarray(self.inv_sigma2, jnp.float32)
+
+        # motion-model prediction IN-PROGRAM (reference mVelocity,
+        # Tracking.cc:2437): T_pred = (T_last T_prev^-1) T_last.  Taking
+        # the two poses as inputs (instead of a host-computed prediction)
+        # lets consecutive frames chain device-to-device with no host
+        # round trip between dispatches.
+        Rv = R_last @ R_prev.T
+        tv = t_last - Rv @ t_prev
+        R_pred = Rv @ R_last
+        t_pred = Rv @ t_last + tv
 
         feats = self.extractor._extract(img, self.capacity)
         if self.has_dist:
@@ -187,7 +201,41 @@ class TrackStep:
         res1 = spo.optimize_pose(
             R_pred, t_pred, pts0, xy_un, isig, val0, self.project
         )
-        kp_mp1 = jnp.where(val0 & ~res1.inliers, -1, kp_mp0)
+        kp_mp1m = jnp.where(val0 & ~res1.inliers, -1, kp_mp0)
+
+        # ---- TrackReferenceKeyFrame fallback IN-PROGRAM (reference
+        # Tracking.cc:1549, :2308): when the motion-model track is weak,
+        # mutual-best descriptor match against the reference keyframe's
+        # map-point-bearing keypoints + pose optimisation from the LAST
+        # pose.  Keeping this branch on device means a hard stretch
+        # costs one program, not a host replay through the legacy
+        # matchers.
+        ok_motion = (n_match >= 20) & (res1.n_inliers >= 10)
+
+        def ref_branch():
+            m12, _ = fm.mutual_best_match(
+                feats.desc, feats.valid, ref_desc, ref_valid,
+            )
+            good = (m12 >= 0)
+            kp_r = jnp.where(
+                good, ref_kp_mp[jnp.clip(m12, 0, ref_kp_mp.shape[0] - 1)],
+                -1,
+            ).astype(jnp.int32)
+            val_r = (kp_r >= 0) & map_valid[jnp.clip(kp_r, 0, CAP - 1)]
+            kp_r = jnp.where(val_r, kp_r, -1)
+            pts_r = map_pos[jnp.clip(kp_r, 0, CAP - 1)]
+            res_r = spo.optimize_pose(
+                R_last, t_last, pts_r, xy_un, isig, kp_r >= 0, self.project
+            )
+            kp_out = jnp.where((kp_r >= 0) & ~res_r.inliers, -1, kp_r)
+            return res_r.R, res_r.t, kp_out, res_r.n_inliers
+
+        def motion_branch():
+            return res1.R, res1.t, kp_mp1m, res1.n_inliers
+
+        R1_, t1_, kp_mp1, n_pre = jax.lax.cond(
+            ok_motion, motion_branch, ref_branch
+        )
 
         # ---- TrackLocalMap: search the local-map block
         # (reference SearchLocalPoints, Tracking.cc:2916)
@@ -201,7 +249,7 @@ class TrackStep:
         kp_free = feats.valid & (kp_mp1 < 0)
         m2 = fm.search_by_projection_local_map(
             lm_pos, lm_desc, lm_searched, lm_norm, lm_maxd,
-            res1.R, res1.t,
+            R1_, t1_,
             xy_un, feats.desc, feats.octave, kp_free, None,
             self.project, self.scale_factors, self.img_wh,
         )
@@ -213,7 +261,7 @@ class TrackStep:
         pts2 = map_pos[jnp.clip(kp_mp2, 0, CAP - 1)]
         val2 = (kp_mp2 >= 0) & map_valid[jnp.clip(kp_mp2, 0, CAP - 1)]
         res2 = spo.optimize_pose(
-            res1.R, res1.t, pts2, xy_un, isig, val2, self.project
+            R1_, t1_, pts2, xy_un, isig, val2, self.project
         )
         kp_mp3 = jnp.where(val2 & ~res2.inliers, -1, kp_mp2)
 
@@ -221,6 +269,7 @@ class TrackStep:
             feats=feats, xy_un=xy_un, R=res2.R, t=res2.t, kp_mp=kp_mp3,
             n_match_motion=n_match, n_inl_motion=res1.n_inliers,
             n_inl_final=jnp.sum(val2 & res2.inliers), lm_searched=lm_searched,
+            used_ref=~ok_motion, n_pre=n_pre,
         )
 
     def __call__(self, *args) -> FusedOut:

@@ -81,16 +81,31 @@ class Frame:
         if self.host_ready:
             return
         un = self.un_dev if self.un_dev is not None else self.feats.xy
-        xy_un, octave, angle, desc, valid = jax.device_get(
+        fetch_kp = self.kp_mp is None and self.kp_mp_dev is not None
+        kp_dev = self.kp_mp_dev if fetch_kp else un
+        xy_un, octave, angle, desc, valid, kp = jax.device_get(
             (un, self.feats.octave, self.feats.angle, self.feats.desc,
-             self.feats.valid)
+             self.feats.valid, kp_dev)
         )
         self.xy_un = np.asarray(xy_un, np.float32)
         self.octave = np.asarray(octave)
         self.angle = np.asarray(angle)
         self.desc = np.asarray(desc)
         self.valid = np.asarray(valid)
+        if fetch_kp:
+            self.kp_mp = np.asarray(kp).copy()
         self.host_ready = True
+
+
+@dataclasses.dataclass
+class _PipeEntry:
+    """One in-flight pipelined frame: the dispatched program's outputs
+    plus what the confirmation step needs to commit it."""
+    frame: Frame
+    out: object                # track_device.FusedOut (device arrays)
+    ts: float
+    prev_frame: Frame          # chain predecessor (for the velocity)
+    blk_ids: np.ndarray        # local-block ids used at dispatch
 
 
 class Tracker:
@@ -202,6 +217,15 @@ class Tracker:
         # fused device tracking step (mono, non-inertial fast path)
         self._mirror = td.MapMirror()
         self._fused_local = None   # (key, LocalBlock) cache
+        self._ref_blk = None       # (key, device ref-KF block) cache
+        self._ref_tracked_cache = None  # ((mid, version, ref_kf), count)
+        self._pipe: List[_PipeEntry] = []  # in-flight pipelined frames
+        # first frame id whose dispatch could see the latest keyframe's
+        # triangulated points (set when deferred tri/fuse results land)
+        self._pts_fresh_fid = 0
+        self.local_mapper.on_tf_applied = (
+            lambda: setattr(self, "_pts_fresh_fid", self._next_frame_id)
+        )
         self._fused_local_cap = 4096
 
         # inertial mode (reference: sensor IMU_MONOCULAR/IMU_STEREO)
@@ -396,6 +420,8 @@ class Tracker:
             st = self._track_fused(img, ts)
             if st is not None:
                 return st
+        # leaving the fused fast path: settle any in-flight frames first
+        self._confirm_pipe()
         frame = self._make_frame(img, ts)
         self._preintegrate(frame)
         return self._track_existing(frame, ts)
@@ -416,7 +442,7 @@ class Tracker:
             and self.state == TrackState.OK
             and self.velocity is not None
             and last is not None
-            and last.R is not None
+            and (last.R is not None or bool(self._pipe))
             and last.un_dev is not None
             and last.feats.capacity
             == self.cfg.orb.n_features + self.cfg.orb.n_levels * 16
@@ -424,9 +450,18 @@ class Tracker:
 
     def _track_fused(self, img: np.ndarray, ts: float):
         """One-program frame step (slam/track_device.py): extract ->
-        motion-model search -> pose opt -> local-map search -> pose opt,
-        with one upload and one fetch.  Returns the new state, or None
-        to fall back to the legacy path before any work was done."""
+        motion-model search -> pose opt -> local-map search -> pose opt.
+        Returns the new state, or None to fall back to the legacy path
+        before any work was done.
+
+        With ``tracking.pipeline_depth = K > 0`` consecutive frames form
+        a device-to-device chain: each dispatch consumes the previous
+        dispatch's pose/feature/association arrays (motion prediction
+        runs in-program), and the host pays ONE round-trip fetch per K+1
+        frames to confirm the whole batch.  This is the TPU analog of
+        the reference's decoupled tracking thread: decisions (keyframe
+        insertion, failure handling) lag by at most K frames, exactly
+        like LocalMapping's queue latency (src/LocalMapping.cc:278)."""
         mp = self.atlas.current
         if self.ref_kf is None:
             return None
@@ -451,8 +486,28 @@ class Tracker:
             self.cfg.camera, self.cfg.orb, img.shape, self._mirror.cap,
             self._fused_local_cap,
         )
+        ref_desc, ref_valid, ref_kp = self._ref_block(mp)
         last = self.last_frame
-        R_pred, t_pred = self._predict_pose()
+        # pose-chain inputs: device arrays from the pipeline tail when
+        # chaining, else the committed host pose + the virtual previous
+        # pose implied by the motion model (T_prev = V^-1 T_last)
+        if self._pipe:
+            tail = self._pipe[-1]
+            R_last_in, t_last_in = tail.out.R, tail.out.t
+            if len(self._pipe) >= 2:
+                R_prev_in = self._pipe[-2].out.R
+                t_prev_in = self._pipe[-2].out.t
+            else:
+                pf = tail.prev_frame
+                R_prev_in = jnp.asarray(pf.R)
+                t_prev_in = jnp.asarray(pf.t)
+        else:
+            R1, t1 = last.R, last.t
+            Rv, tv = self.velocity
+            R_last_in = jnp.asarray(R1)
+            t_last_in = jnp.asarray(t1)
+            R_prev_in = jnp.asarray((Rv.T @ R1).astype(np.float32))
+            t_prev_in = jnp.asarray((Rv.T @ (t1 - tv)).astype(np.float32))
         last_kp = (
             last.kp_mp_dev
             if last.kp_mp_dev is not None and not last.kp_mp_dirty
@@ -464,56 +519,165 @@ class Tracker:
             last.feats.angle, last_kp,
             self._mirror.pos, self._mirror.valid,
             blk.ids_dev, blk.pos, blk.desc, blk.norm, blk.maxd, blk.val,
-            jnp.asarray(R_pred), jnp.asarray(t_pred),
-        )
-        # ONE device fetch per frame: tracking outputs plus the host
-        # copies of the feature arrays (~60 KB extra — negligible next
-        # to the tunnel round trip this saves on every keyframe's
-        # ensure_host)
-        (R, t, kp_mp, n_match, n1, n2, lm_searched,
-         h_un, h_oct, h_ang, h_desc, h_val) = jax.device_get(
-            (out.R, out.t, out.kp_mp, out.n_match_motion, out.n_inl_motion,
-             out.n_inl_final, out.lm_searched,
-             out.xy_un, out.feats.octave, out.feats.angle, out.feats.desc,
-             out.feats.valid)
+            ref_desc, ref_valid, ref_kp,
+            R_last_in, t_last_in, R_prev_in, t_prev_in,
         )
         frame = Frame(
             frame_id=self._next_frame_id, timestamp=ts, feats=out.feats,
-            xy_un=np.asarray(h_un, np.float32), octave=np.asarray(h_oct),
-            angle=np.asarray(h_ang), desc=np.asarray(h_desc),
-            valid=np.asarray(h_val),
-            kp_mp=np.asarray(kp_mp).copy(), un_dev=out.xy_un,
-            kp_mp_dev=out.kp_mp, host_ready=True,
+            xy_un=None, octave=None, angle=None, desc=None, valid=None,
+            kp_mp=None, un_dev=out.xy_un,
+            kp_mp_dev=out.kp_mp, host_ready=False,
         )
         self._next_frame_id += 1
-        frame.R = np.asarray(R).copy()
-        frame.t = np.asarray(t).copy()
-
-        ok = int(n_match) >= 20 and int(n1) >= 10 and int(n2) >= 30
-        if not ok:
-            # rare: rerun the full legacy state machine on the
-            # already-extracted frame (reference falls back to
-            # TrackReferenceKeyFrame / relocalization)
-            frame.ensure_host()
-            last.ensure_host()
-            frame.R = frame.t = None
-            frame.kp_mp[:] = INVALID
-            frame.kp_mp_dirty = True
-            return self._track_existing(frame, ts)
-
-        # bookkeeping identical to the legacy OK path
-        mp.mp_visible[blk.ids[np.asarray(lm_searched)]] += 1
-        found = frame.kp_mp[frame.kp_mp >= 0]
-        mp.mp_found[found] += 1
-        self.state = TrackState.OK
-        self._frames_lost = 0
-        Rv = frame.R @ last.R.T
-        self.velocity = (Rv, frame.t - Rv @ last.t)
-        if self._need_new_keyframe(frame):
-            self._create_keyframe(frame)
+        self._pipe.append(_PipeEntry(
+            frame=frame, out=out, ts=ts, prev_frame=last, blk_ids=blk.ids,
+        ))
+        # optimistic: in-flight frames report OK; the confirmation fetch
+        # corrects state/trajectory (and replays through the legacy path
+        # on a failed gate)
         self.last_frame = frame
-        self._record_traj(ts, frame.R, frame.t)
+        self.state = TrackState.OK
+        if len(self._pipe) > self.cfg.tracking.pipeline_depth:
+            self._confirm_pipe()
         return self.state
+
+    def _ref_block(self, mp: SLAMMap):
+        """Device block of the reference keyframe's map-point-bearing
+        keypoints (descriptors + map-point ids), for the in-program
+        TrackReferenceKeyFrame fallback.  Cached per (map version,
+        ref_kf); re-uploaded only when the map changes."""
+        key = (mp.mid, mp.version, self.ref_kf)
+        if self._ref_blk is not None and self._ref_blk[0] == key:
+            return self._ref_blk[1]
+        kf = mp.keyframes[self.ref_kf]
+        N = self.cfg.orb.n_features + self.cfg.orb.n_levels * 16
+        desc = np.zeros((N, 32), np.uint8)
+        valid = np.zeros((N,), bool)
+        kp_mp_arr = np.full((N,), -1, np.int32)
+        idx = np.where(kf.valid & (kf.kp_mp >= 0))[0][:N]
+        k = len(idx)
+        if k:
+            desc[:k] = kf.desc[idx]
+            mpids = kf.kp_mp[idx]
+            live = mp.mp_valid[mpids]
+            valid[:k] = live
+            kp_mp_arr[:k] = np.where(live, mpids, -1)
+        blk = (jnp.asarray(desc), jnp.asarray(valid),
+               jnp.asarray(kp_mp_arr))
+        self._ref_blk = (key, blk)
+        return blk
+
+    def flush(self):
+        """Settle all in-flight pipelined frames (states, trajectory,
+        keyframe decisions) and deferred mapping results.  No-op in
+        synchronous mode."""
+        self._confirm_pipe()
+        self.local_mapper.flush_tf(self.atlas.current)
+
+    def _confirm_pipe(self):
+        """Pay one device round trip to confirm every in-flight frame:
+        gates, velocity/trajectory commits, keyframe decisions.  A frame
+        that fails its gates (or follows a pose-rewriting loop closure /
+        merge) is replayed through the legacy state machine.  The local
+        mapper's deferred triangulation/fuse results ride the same
+        fetch."""
+        if not self._pipe:
+            self.local_mapper.flush_tf(self.atlas.current)
+            return
+        pending = self._pipe
+        self._pipe = []
+        tf_handles = self.local_mapper.pending_tf_handles()
+        payload = [
+            (e.out.R, e.out.t, e.out.n_match_motion, e.out.n_inl_motion,
+             e.out.n_inl_final, e.out.used_ref, e.out.n_pre)
+            for e in pending
+        ]
+        if tf_handles:
+            payload.append(tf_handles)
+        fetched = jax.device_get(payload)
+        if tf_handles:
+            self.local_mapper.apply_tf(self.atlas.current, fetched[-1])
+            fetched = fetched[: len(pending)]
+        kf_created = False
+        for i, (e, (R, t, n_match, n1, n2, used_ref, n_pre)) in enumerate(
+                zip(pending, fetched)):
+            frame = e.frame
+            # motion-model gates (reference Tracking.cc:2475-2528) or
+            # the in-program TrackReferenceKeyFrame fallback's
+            # (>=10 map-point inliers, :2308); TrackLocalMap then needs
+            # >=30 final inliers either way (:2612)
+            ok = int(n2) >= 30 and (
+                (int(n_match) >= 20 and int(n1) >= 10)
+                or (bool(used_ref) and int(n_pre) >= 10)
+            )
+            if not ok:
+                self._replay(pending[i:])
+                return
+            frame.R = np.asarray(R).copy()
+            frame.t = np.asarray(t).copy()
+            self.state = TrackState.OK
+            self._frames_lost = 0
+            prev = e.prev_frame
+            Rv = frame.R @ prev.R.T
+            self.velocity = (Rv, frame.t - Rv @ prev.t)
+            mp = self.atlas.current
+            # at most ONE keyframe per confirmation batch: the later
+            # entries were tracked against the pre-keyframe map, so
+            # their inlier counts can't reflect it — inserting on them
+            # cascades keyframes.  This is the reference's
+            # SetAcceptKeyFrames(false) while LocalMapping is busy
+            # (src/LocalMapping.cc:75,264).
+            if not kf_created and \
+                    self._need_new_keyframe(frame, tracked=int(n2)):
+                kf_created = True
+                # one combined fetch for the keyframe's host copies:
+                # associations + searched mask + feature arrays, all
+                # outputs of the original dispatch
+                (kp_mp, lm_searched, h_un, h_oct, h_ang, h_desc,
+                 h_val) = jax.device_get(
+                    (e.out.kp_mp, e.out.lm_searched, e.out.xy_un,
+                     e.out.feats.octave, e.out.feats.angle,
+                     e.out.feats.desc, e.out.feats.valid)
+                )
+                frame.kp_mp = np.asarray(kp_mp).copy()
+                frame.xy_un = np.asarray(h_un, np.float32)
+                frame.octave = np.asarray(h_oct)
+                frame.angle = np.asarray(h_ang)
+                frame.desc = np.asarray(h_desc)
+                frame.valid = np.asarray(h_val)
+                frame.host_ready = True
+                # found/visible counters sampled at keyframe rate (the
+                # found/visible RATIO driving MapPointCulling is
+                # unbiased under uniform subsampling; the reference
+                # increments every frame)
+                mp.mp_visible[e.blk_ids[np.asarray(lm_searched)]] += 1
+                found = frame.kp_mp[frame.kp_mp >= 0]
+                mp.mp_found[found] += 1
+                self._create_keyframe(frame)
+                if self.velocity is None and i + 1 < len(pending):
+                    # a loop closure / merge rewrote the map poses: the
+                    # remaining chained frames were predicted in the old
+                    # frame of reference
+                    self._replay(pending[i + 1:])
+                    return
+            self._record_traj(e.ts, frame.R, frame.t)
+            if i == len(pending) - 1:
+                self.last_frame = frame
+
+    def _replay(self, entries):
+        """Re-run in-flight frames through the legacy state machine
+        (reference falls back to TrackReferenceKeyFrame / relocalization
+        on a failed motion-model track, Tracking.cc:1549)."""
+        prev = entries[0].prev_frame
+        prev.ensure_host()
+        self.last_frame = prev
+        for e in entries:
+            f = e.frame
+            f.ensure_host()
+            f.R = f.t = None
+            f.kp_mp[:] = INVALID
+            f.kp_mp_dirty = True
+            self._track_existing(f, e.ts)
 
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray, ts: float,
                      imu=None):
@@ -916,6 +1080,7 @@ class Tracker:
         relative pose with its reference keyframe's CURRENT pose,
         walking tombstones of culled keyframes up the spanning tree
         (reference KeyFrame::SetBadFlag stores mTcp for this)."""
+        self._confirm_pipe()
         out = []
         for i, (ts, mid, kf_id, R_rel, t_rel) in enumerate(self.traj_rel):
             mp = self.atlas.map_by_mid(mid)
@@ -953,6 +1118,10 @@ class Tracker:
         return out
 
     def _reset_map(self):
+        # in-flight pipelined frames belong to the abandoned map; their
+        # poses are meaningless now (like frames dropped by a reference
+        # reset), so discard rather than confirm
+        self._pipe = []
         self.local_mapper.discard_ba()
         self.atlas.create_new_map()
         self._map_traj_start = len(self.trajectory)
@@ -1048,6 +1217,10 @@ class Tracker:
 
     def _track_frame(self, frame: Frame) -> bool:
         mp = self.atlas.current
+        if self.last_frame is not None:
+            # the fused fast path leaves frames device-resident; the
+            # legacy matchers need the host copies
+            self.last_frame.ensure_host()
         ok = False
         if (self.velocity is not None or self._imu_ready(frame)) \
                 and self.last_frame is not None:
@@ -1356,20 +1529,30 @@ class Tracker:
 
     # ---------------------------------------------------------- keyframes
 
-    def _need_new_keyframe(self, frame: Frame) -> bool:
-        """Reference NeedNewKeyFrame (Tracking.cc:2647), mono subset."""
+    def _need_new_keyframe(self, frame: Frame,
+                           tracked: Optional[int] = None) -> bool:
+        """Reference NeedNewKeyFrame (Tracking.cc:2647), mono subset.
+        ``tracked`` lets the fused path pass the device-counted inlier
+        total so the frame's associations never need a host copy."""
         mp = self.atlas.current
-        tracked = int((frame.kp_mp >= 0).sum())
+        if tracked is None:
+            tracked = int((frame.kp_mp >= 0).sum())
         if self.ref_kf is None or self.ref_kf not in mp.keyframes:
             return False
         ref = mp.keyframes[self.ref_kf]
-        ref_tracked = int(
-            sum(
-                1
-                for m in ref.kp_mp
-                if m >= 0 and mp.mp_valid[m] and mp.n_observations(int(m)) >= 3
-            )
-        )
+        # ref_tracked only changes when the map does; cache on the map
+        # version so steady-state frames skip the observation-count scan
+        rt_key = (mp.mid, mp.version, self.ref_kf)
+        if self._ref_tracked_cache is None \
+                or self._ref_tracked_cache[0] != rt_key:
+            kp = ref.kp_mp
+            mids = kp[kp >= 0]
+            ref_tracked = int(sum(
+                1 for m in mids
+                if mp.mp_valid[m] and mp.n_observations(int(m)) >= 3
+            ))
+            self._ref_tracked_cache = (rt_key, ref_tracked)
+        ref_tracked = self._ref_tracked_cache[1]
         # Stereo/RGBD close-point pressure (reference Tracking.cc:2647+:
         # bNeedToInsertClose when <100 tracked close and >70 untracked
         # close points; thRefRatio drops to 0.75).
@@ -1385,7 +1568,21 @@ class Tracker:
             th_ref_ratio = 0.75
         c1a = frame.frame_id >= self.last_kf_frame_id + self.cfg.tracking.max_frames
         c1b = frame.frame_id >= self.last_kf_frame_id + self.cfg.tracking.min_frames
-        c2 = (tracked < ref_tracked * th_ref_ratio or need_close) and tracked > 15
+        # The weak-tracking trigger (c2) compares this frame's inlier
+        # count against the reference keyframe's point set — meaningless
+        # for frames dispatched before the last keyframe's deferred
+        # triangulation landed (their searches couldn't see the new
+        # points), and firing on them cascades keyframes with near-zero
+        # baselines.  Suppress c2 until the map the frame saw is fresh
+        # (reference analog: SetAcceptKeyFrames(false) while
+        # LocalMapping is mid-keyframe, src/LocalMapping.cc:75,264).
+        c2_allowed = (
+            self.local_mapper._pending_tf is None
+            and frame.frame_id >= self._pts_fresh_fid
+        )
+        c2 = c2_allowed and (
+            tracked < ref_tracked * th_ref_ratio or need_close
+        ) and tracked > 15
         # inertial pre-init: insert keyframes at >=4 Hz so the IMU
         # initialisation window fills quickly (reference Tracking.cc:2647
         # region: ((mSensor == IMU_*) && !initialized && dt >= 0.25))
@@ -1539,8 +1736,15 @@ class Tracker:
             mp.update_point_stats_batch(touched)
         self.ref_kf = kf.kid
         self.last_kf_frame_id = frame.frame_id
-        # synchronous local mapping step (bounded work budget)
-        self.local_mapper.process_keyframe(mp, kf.kid)
+        # synchronous local mapping step (bounded work budget); on the
+        # fused path the triangulation/fuse FETCH is deferred to the
+        # next confirmation round trip (reference LocalMapping queue
+        # latency)
+        defer = (
+            self.sensor == "monocular" and not self.inertial
+            and self.cfg.orb.octree == "device"
+        )
+        self.local_mapper.process_keyframe(mp, kf.kid, defer_fetch=defer)
         # staged IMU initialisation / refinement
         self._imu_init_stage(frame)
         # loop closing (enabled when a vocabulary was provided)

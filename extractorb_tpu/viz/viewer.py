@@ -39,9 +39,11 @@ class Viewer:
     def update(self, system, gray: np.ndarray):
         """Snapshot the current tracking state (call after track_*)."""
         tr = system.tracker
+        tr.flush()       # settle pipelined frames (pose may be pending)
         f = tr.last_frame
         if f is None:
             return
+        f.ensure_host()  # fused-path frames are device-resident
         mp = tr.atlas.current
         img = self.frame_drawer.update(
             gray,

@@ -25,7 +25,8 @@ N_FRAMES = int(os.environ.get("N_FRAMES", "14"))
 
 luna = cv2.imread("/root/reference/pic/luna.jpg", 0)
 tex = cv2.resize(luna, (1024, 1024))
-frames, poses = render_sequence(tex, n_frames=N_FRAMES)
+SPEED = float(os.environ.get("SPEED", "0.12"))
+frames, poses = render_sequence(tex, n_frames=N_FRAMES, speed=SPEED)
 
 acc = defaultdict(float)
 cnt = defaultdict(int)
@@ -49,7 +50,7 @@ def wrap(cls, name):
     setattr(cls, name, timed)
 
 
-for m in ["_make_frame", "_track_fused", "_track_existing", "_track_frame",
+for m in ["_make_frame", "_track_fused", "_confirm_pipe", "_replay", "flush", "_track_existing", "_track_frame",
           "_track_with_motion_model", "_track_reference_keyframe",
           "_track_local_map", "_pose_opt", "_create_keyframe",
           "_monocular_initialization", "_need_new_keyframe", "_promote",
@@ -92,8 +93,33 @@ for m in ["process_keyframe", "_cull_map_points",
 wrap(td.MapMirror, "sync")
 from extractorb_tpu.slam.map import SLAMMap
 for m in ["update_point_stats", "covisible_keyframes", "points_seen_by",
-          "add_observation"]:
+          "add_observation", "add_point", "update_point_stats_batch"]:
     wrap(SLAMMap, m)
+orig_rba = lmm.run_ba
+def rba(*a, **kw):
+    t0 = time.perf_counter()
+    try:
+        return orig_rba(*a, **kw)
+    finally:
+        if enabled[0]:
+            acc["run_ba"] += time.perf_counter() - t0
+            cnt["run_ba"] += 1
+lmm.run_ba = rba
+import extractorb_tpu.frontend.matcher as fmm
+for fn in ["search_for_initialization"]:
+    o = getattr(fmm, fn)
+    def mk3(o, nm):
+        def f(*a, **kw):
+            t0 = time.perf_counter()
+            try:
+                return o(*a, **kw)
+            finally:
+                if enabled[0]:
+                    acc[nm] += time.perf_counter() - t0
+                    cnt[nm] += 1
+        return f
+    setattr(fmm, fn, mk3(o, fn))
+    trk.fm.search_for_initialization = getattr(fmm, fn)
 
 
 def run():
@@ -101,7 +127,7 @@ def run():
         orb=ORBConfig(n_features=1000),
         camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
                             width=W, height=H),
-        tracking=TrackingConfig(max_frames=6),
+        tracking=TrackingConfig(max_frames=6, pipeline_depth=3),
     )
     s = System(cfg)
     t0 = time.perf_counter()
@@ -110,6 +136,7 @@ def run():
         f0 = time.perf_counter()
         s.track_monocular(im, k / 30.0)
         per_frame.append(time.perf_counter() - f0)
+    s.flush()
     return s, time.perf_counter() - t0, per_frame
 
 

@@ -21,10 +21,14 @@ W, H = 640, 480
 K = np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]], np.float64)
 
 
-def render_sequence(tex, n_frames=14):
+def render_sequence(tex, n_frames=14, speed=0.12):
     """Camera translating in front of a two-plane scene (far wall z=5 and
     a near poster z=3) — real 3D structure, so the fundamental path of
-    two-view init is well-posed (a single plane is H-ambiguous)."""
+    two-view init is well-posed (a single plane is H-ambiguous).
+
+    ``speed`` is the per-frame lateral translation; rotation scales with
+    it so longer sequences (smaller speed, more frames) stay inside the
+    textured volume."""
     s_far = 5.0 / tex.shape[0]
     A_far = np.array(
         [[s_far, 0, -2.5], [0, s_far, -2.5], [0, 0, 5.0]], np.float64
@@ -37,11 +41,12 @@ def render_sequence(tex, n_frames=14):
     ones = np.full_like(tex, 255)
     e3 = np.array([[0.0, 0.0, 1.0]])
     frames, poses = [], []
+    sc = speed / 0.12
     for k in range(n_frames):
-        ang = 0.015 * k
+        ang = 0.015 * sc * k
         w = np.array([0.0, ang, 0.0])
         R = np.asarray(lie.so3_exp(jnp.asarray(w)))
-        C = np.array([0.12 * k, 0.015 * k, 0.01 * k])
+        C = np.array([speed * k, 0.015 * sc * k, 0.01 * sc * k])
         t = -R @ C
 
         def warp(texture, A):
