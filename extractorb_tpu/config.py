@@ -139,6 +139,11 @@ class TrackingConfig:
     # corrected at the next confirmation (Tracker.flush drains).  The
     # analog of the reference's decoupled tracking/mapping threads.
     pipeline_depth: int = 0
+    # False routes every frame through the legacy (multi-dispatch)
+    # tracking stack — the reference-exact control flow — instead of the
+    # fused one-program step.  Useful for apples-to-apples comparisons
+    # of non-tracking components and as an escape hatch.
+    use_fused: bool = True
     # Map capacities (ring-buffer style, static shapes).
     max_keyframes: int = 512
     max_map_points: int = 32768

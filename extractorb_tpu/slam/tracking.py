@@ -75,26 +75,36 @@ class Frame:
     kp_mp_dirty: bool = False               # host kp_mp modified since fetch
     host_ready: bool = True
 
-    def ensure_host(self):
-        """Materialise the host copies of the feature arrays (one
-        batched device fetch); no-op for eagerly-built frames."""
-        if self.host_ready:
-            return
+    def host_handles(self):
+        """Device handles of the feature arrays, for batching this
+        frame's host-copy fetch with other transfers."""
         un = self.un_dev if self.un_dev is not None else self.feats.xy
-        fetch_kp = self.kp_mp is None and self.kp_mp_dev is not None
-        kp_dev = self.kp_mp_dev if fetch_kp else un
-        xy_un, octave, angle, desc, valid, kp = jax.device_get(
-            (un, self.feats.octave, self.feats.angle, self.feats.desc,
-             self.feats.valid, kp_dev)
-        )
+        return (un, self.feats.octave, self.feats.angle, self.feats.desc,
+                self.feats.valid)
+
+    def set_host(self, vals):
+        """Install already-fetched host copies (host_handles order)."""
+        xy_un, octave, angle, desc, valid = vals
         self.xy_un = np.asarray(xy_un, np.float32)
         self.octave = np.asarray(octave)
         self.angle = np.asarray(angle)
         self.desc = np.asarray(desc)
         self.valid = np.asarray(valid)
-        if fetch_kp:
-            self.kp_mp = np.asarray(kp).copy()
         self.host_ready = True
+
+    def ensure_host(self):
+        """Materialise the host copies of the feature arrays (one
+        batched device fetch); no-op for eagerly-built frames."""
+        if self.host_ready:
+            return
+        fetch_kp = self.kp_mp is None and self.kp_mp_dev is not None
+        handles = self.host_handles()
+        if fetch_kp:
+            handles = handles + (self.kp_mp_dev,)
+        vals = jax.device_get(handles)
+        self.set_host(vals[:5])
+        if fetch_kp:
+            self.kp_mp = np.asarray(vals[5]).copy()
 
 
 @dataclasses.dataclass
@@ -220,6 +230,9 @@ class Tracker:
         self._ref_blk = None       # (key, device ref-KF block) cache
         self._ref_tracked_cache = None  # ((mid, version, ref_kf), count)
         self._pipe: List[_PipeEntry] = []  # in-flight pipelined frames
+        # (last_frame_id, R, t) of the frame BEFORE last_frame, for
+        # chain-start motion prediction without a virtual-pose detour
+        self._prev_pose = None
         # first frame id whose dispatch could see the latest keyframe's
         # triangulated points (set when deferred tri/fuse results land)
         self._pts_fresh_fid = 0
@@ -245,32 +258,29 @@ class Tracker:
 
     # ------------------------------------------------------------ frames
 
-    def _make_frame(self, img: np.ndarray, ts: float, init: bool = False) -> Frame:
+    def _make_frame(self, img: np.ndarray, ts: float, init: bool = False,
+                    lazy: bool = False) -> Frame:
         ext = self.init_extractor if init else self.extractor
         feats = ext(jnp.asarray(img))
         if self.has_dist:
             un_dev = undistort_points_pinhole(feats.xy, self.cam, self.dist)
         else:
             un_dev = feats.xy
-        # single device fetch for all host copies (each np.asarray of a
-        # device array is one blocking round trip — ~45 ms over the
-        # tunneled TPU backend, so batching them matters)
-        xy_un, octave, angle, desc, valid = jax.device_get(
-            (un_dev, feats.octave, feats.angle, feats.desc, feats.valid)
-        )
         f = Frame(
             frame_id=self._next_frame_id,
             timestamp=ts,
             feats=feats,
-            xy_un=np.asarray(xy_un, np.float32),
-            octave=np.asarray(octave),
-            angle=np.asarray(angle),
-            desc=np.asarray(desc),
-            valid=np.asarray(valid),
+            xy_un=None, octave=None, angle=None, desc=None, valid=None,
             kp_mp=np.full(feats.capacity, INVALID, np.int32),
             un_dev=un_dev,
+            host_ready=False,
         )
         self._next_frame_id += 1
+        if not lazy:
+            # single device fetch for all host copies (each np.asarray
+            # of a device array is one blocking round trip — ~45 ms over
+            # the tunneled TPU backend, so batching them matters)
+            f.ensure_host()
         return f
 
     def _make_frame_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
@@ -431,12 +441,13 @@ class Tracker:
     def _fused_applicable(self) -> bool:
         """The fused one-program step covers the common steady state:
         monocular, non-inertial, OK with a motion model, previous frame
-        device-resident at the tracking capacity (the frame right after
-        initialisation comes from the 5x init extractor and takes the
-        legacy path once)."""
+        device-resident.  The previous frame's capacity is free to
+        differ (the frame after initialisation chains from the 5x init
+        extractor's arrays — jit just specialises a second variant)."""
         last = self.last_frame
         return (
-            self.sensor == "monocular"
+            self.cfg.tracking.use_fused
+            and self.sensor == "monocular"
             and not self.inertial
             and self.cfg.orb.octree == "device"  # fused step extracts on device
             and self.state == TrackState.OK
@@ -444,8 +455,6 @@ class Tracker:
             and last is not None
             and (last.R is not None or bool(self._pipe))
             and last.un_dev is not None
-            and last.feats.capacity
-            == self.cfg.orb.n_features + self.cfg.orb.n_levels * 16
         )
 
     def _track_fused(self, img: np.ndarray, ts: float):
@@ -503,11 +512,25 @@ class Tracker:
                 t_prev_in = jnp.asarray(pf.t)
         else:
             R1, t1 = last.R, last.t
-            Rv, tv = self.velocity
             R_last_in = jnp.asarray(R1)
             t_last_in = jnp.asarray(t1)
-            R_prev_in = jnp.asarray((Rv.T @ R1).astype(np.float32))
-            t_prev_in = jnp.asarray((Rv.T @ (t1 - tv)).astype(np.float32))
+            if self._prev_pose is not None \
+                    and self._prev_pose[0] == last.frame_id:
+                # actual predecessor pose: the in-program velocity
+                # R_last @ R_prev^T then matches the host formula
+                # bit-for-bit.  (Reconstructing a virtual predecessor
+                # as Rv^T R1 injects R1 R1^T — pose-opt rotations are
+                # not exactly orthonormal, and feeding that asymmetry
+                # back into every prediction measurably degrades
+                # accuracy at pipeline_depth=0.)
+                _, Rp, tp = self._prev_pose
+                R_prev_in = jnp.asarray(Rp)
+                t_prev_in = jnp.asarray(tp)
+            else:
+                Rv, tv = self.velocity
+                R_prev_in = jnp.asarray((Rv.T @ R1).astype(np.float32))
+                t_prev_in = jnp.asarray(
+                    (Rv.T @ (t1 - tv)).astype(np.float32))
         last_kp = (
             last.kp_mp_dev
             if last.kp_mp_dev is not None and not last.kp_mp_dirty
@@ -587,19 +610,41 @@ class Tracker:
         pending = self._pipe
         self._pipe = []
         tf_handles = self.local_mapper.pending_tf_handles()
+        # kp_mp + lm_searched ride along for every entry (~9 KB each):
+        # the found/visible counters MUST tick every frame — sampling
+        # them only on keyframes stretches MapPointCulling's probation
+        # from 3 frames to 3 keyframes and lets bad triangulations
+        # accumulate (measured as progressive ATE drift)
         payload = [
             (e.out.R, e.out.t, e.out.n_match_motion, e.out.n_inl_motion,
-             e.out.n_inl_final, e.out.used_ref, e.out.n_pre)
+             e.out.n_inl_final, e.out.used_ref, e.out.n_pre,
+             e.out.kp_mp, e.out.lm_searched)
             for e in pending
         ]
+        n_gate = len(payload)
         if tf_handles:
             payload.append(tf_handles)
+        # speculative keyframe prefetch: the cadence trigger (c1a) is
+        # deterministic from frame ids, so the entry it will fire on is
+        # known BEFORE the fetch — ride its feature host copies on this
+        # same round trip instead of paying a second one
+        spec_idx = None
+        for i, e in enumerate(pending):
+            if e.frame.frame_id >= (self.last_kf_frame_id
+                                    + self.cfg.tracking.max_frames):
+                spec_idx = i
+                break
+        if spec_idx is not None:
+            payload.append(self._kf_fetch_handles(pending[spec_idx]))
         fetched = jax.device_get(payload)
+        spec_vals = fetched[n_gate + bool(tf_handles)] \
+            if spec_idx is not None else None
         if tf_handles:
-            self.local_mapper.apply_tf(self.atlas.current, fetched[-1])
-            fetched = fetched[: len(pending)]
+            self.local_mapper.apply_tf(self.atlas.current, fetched[n_gate])
+        fetched = fetched[:n_gate]
         kf_created = False
-        for i, (e, (R, t, n_match, n1, n2, used_ref, n_pre)) in enumerate(
+        for i, (e, (R, t, n_match, n1, n2, used_ref, n_pre,
+                    kp_mp_h, lm_searched)) in enumerate(
                 zip(pending, fetched)):
             frame = e.frame
             # motion-model gates (reference Tracking.cc:2475-2528) or
@@ -620,7 +665,20 @@ class Tracker:
             prev = e.prev_frame
             Rv = frame.R @ prev.R.T
             self.velocity = (Rv, frame.t - Rv @ prev.t)
+            # remember the predecessor pose so the next chain start can
+            # use it directly instead of a reconstructed virtual pose
+            self._prev_pose = (frame.frame_id, prev.R.copy(),
+                               prev.t.copy())
             mp = self.atlas.current
+            # per-frame found/visible bookkeeping (reference
+            # IncreaseVisible/IncreaseFound, Tracking.cc:2540+)
+            frame.kp_mp = np.asarray(kp_mp_h).copy()
+            ids = e.blk_ids[np.asarray(lm_searched)]
+            ids = ids[ids < len(mp.mp_visible)]
+            mp.mp_visible[ids] += 1
+            found = frame.kp_mp[frame.kp_mp >= 0]
+            found = found[found < len(mp.mp_found)]
+            mp.mp_found[found] += 1
             # at most ONE keyframe per confirmation batch: the later
             # entries were tracked against the pre-keyframe map, so
             # their inlier counts can't reflect it — inserting on them
@@ -630,29 +688,13 @@ class Tracker:
             if not kf_created and \
                     self._need_new_keyframe(frame, tracked=int(n2)):
                 kf_created = True
-                # one combined fetch for the keyframe's host copies:
-                # associations + searched mask + feature arrays, all
-                # outputs of the original dispatch
-                (kp_mp, lm_searched, h_un, h_oct, h_ang, h_desc,
-                 h_val) = jax.device_get(
-                    (e.out.kp_mp, e.out.lm_searched, e.out.xy_un,
-                     e.out.feats.octave, e.out.feats.angle,
-                     e.out.feats.desc, e.out.feats.valid)
+                # feature host copies: prefetched when this is the
+                # speculated cadence keyframe, one extra fetch otherwise
+                # (rare weak-tracking keyframes)
+                vals = spec_vals if i == spec_idx else jax.device_get(
+                    self._kf_fetch_handles(e)
                 )
-                frame.kp_mp = np.asarray(kp_mp).copy()
-                frame.xy_un = np.asarray(h_un, np.float32)
-                frame.octave = np.asarray(h_oct)
-                frame.angle = np.asarray(h_ang)
-                frame.desc = np.asarray(h_desc)
-                frame.valid = np.asarray(h_val)
-                frame.host_ready = True
-                # found/visible counters sampled at keyframe rate (the
-                # found/visible RATIO driving MapPointCulling is
-                # unbiased under uniform subsampling; the reference
-                # increments every frame)
-                mp.mp_visible[e.blk_ids[np.asarray(lm_searched)]] += 1
-                found = frame.kp_mp[frame.kp_mp >= 0]
-                mp.mp_found[found] += 1
+                frame.set_host(vals)
                 self._create_keyframe(frame)
                 if self.velocity is None and i + 1 < len(pending):
                     # a loop closure / merge rewrote the map poses: the
@@ -663,6 +705,13 @@ class Tracker:
             self._record_traj(e.ts, frame.R, frame.t)
             if i == len(pending) - 1:
                 self.last_frame = frame
+
+    @staticmethod
+    def _kf_fetch_handles(e: "_PipeEntry"):
+        """Device handles for a pipe entry's keyframe-promotion feature
+        host copies (Frame.set_host order)."""
+        return (e.out.xy_un, e.out.feats.octave, e.out.feats.angle,
+                e.out.feats.desc, e.out.feats.valid)
 
     def _replay(self, entries):
         """Re-run in-flight frames through the legacy state machine
@@ -715,11 +764,17 @@ class Tracker:
                 # Atlas recovery (reference Tracking.cc:1607-1625): enough
                 # map to keep -> start a fresh map, else reset in place
                 if self._frames_lost > 5:
-                    if len(self.atlas.current.keyframes) > 10:
+                    # reference keeps the map at >=10 keyframes
+                    # (Tracking.cc:1607: KeyFramesInMap()<10 -> reset)
+                    if len(self.atlas.current.keyframes) >= 10:
                         self._reset_map()
                     else:
+                        # discard the failed map via remove_map so the
+                        # Atlas `active` index keeps tracking the new
+                        # map (a raw list pop left it dangling)
+                        failed_mid = self.atlas.current.mid
                         self._reset_map()
-                        self.atlas.maps.pop(-2)  # discard the failed map
+                        self.atlas.remove_map(failed_mid)
                     self._frames_lost = 0
             self.last_frame = frame
             if frame.R is not None and self.state == TrackState.OK:
@@ -932,12 +987,18 @@ class Tracker:
     # ---------------------------------------------------- initialization
 
     def _monocular_initialization(self, img, ts):
-        """Reference MonocularInitialization (Tracking.cc:2018)."""
-        frame = self._make_frame(img, ts, init=True)
+        """Reference MonocularInitialization (Tracking.cc:2018).
+
+        Frames are extracted LAZILY (host copies deferred) and the
+        window search is dispatched on the device arrays; one combined
+        fetch then lands the match vector together with both frames'
+        host copies — 3 round trips fewer than eager frames over the
+        tunneled backend."""
+        frame = self._make_frame(img, ts, init=True, lazy=True)
         if self.init_frame is None or self.state == TrackState.NO_IMAGES_YET:
-            if frame.feats.count() >= 100:
+            if int(frame.feats.count()) >= 100:
                 self.init_frame = frame
-                self.prev_matched = frame.xy_un.copy()
+                self.prev_matched = None  # host copy lands on the fetch
                 self.state = TrackState.NOT_INITIALIZED
             self.last_frame = frame
             return
@@ -948,16 +1009,32 @@ class Tracker:
             return
 
         f1, f2 = self.init_frame, frame
-        m12 = np.asarray(
-            fm.search_for_initialization(
-                f1.feats.desc, jnp.asarray(f1.xy_un), f1.feats.angle,
-                f1.feats.octave, f1.feats.valid,
-                f2.feats.desc, jnp.asarray(f2.xy_un), f2.feats.angle,
-                f2.feats.octave, f2.feats.valid,
-                100,
-                jnp.asarray(self.prev_matched),
-            )
+        un1 = f1.un_dev if f1.un_dev is not None else f1.feats.xy
+        un2 = f2.un_dev if f2.un_dev is not None else f2.feats.xy
+        prev = (jnp.asarray(self.prev_matched)
+                if self.prev_matched is not None else un1)
+        m12_dev = fm.search_for_initialization(
+            f1.feats.desc, un1, f1.feats.angle,
+            f1.feats.octave, f1.feats.valid,
+            f2.feats.desc, un2, f2.feats.angle,
+            f2.feats.octave, f2.feats.valid,
+            100,
+            prev,
         )
+        fetch = jax.device_get(
+            (m12_dev,)
+            + (f1.host_handles() if not f1.host_ready else ())
+            + (f2.host_handles() if not f2.host_ready else ())
+        )
+        m12 = np.asarray(fetch[0])
+        off = 1
+        if not f1.host_ready:
+            f1.set_host(fetch[off:off + 5])
+            off += 5
+        if not f2.host_ready:
+            f2.set_host(fetch[off:off + 5])
+        if self.prev_matched is None:
+            self.prev_matched = f1.xy_un.copy()
         n = (m12 >= 0).sum()
         if n < 100:
             self.init_frame = None
@@ -981,19 +1058,26 @@ class Tracker:
             jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(vmask),
             jnp.asarray(self.K),
         )
-        if not bool(res.success):
+        # one batched fetch of the whole reconstruction result (field-by
+        # -field np.asarray costs a tunnel round trip each)
+        success, R21, t21, tri, pts = jax.device_get(
+            (res.success, res.R21, res.t21, res.is_triangulated,
+             res.points3d)
+        )
+        if not bool(success):
             self.last_frame = frame
             return
-        self._create_initial_map(f1, f2, sel, m12, res)
+        self._create_initial_map(
+            f1, f2, sel, m12,
+            np.asarray(R21), np.asarray(t21), np.asarray(tri),
+            np.asarray(pts),
+        )
         self.last_frame = frame
 
-    def _create_initial_map(self, f1: Frame, f2: Frame, sel, m12, res):
+    def _create_initial_map(self, f1: Frame, f2: Frame, sel, m12,
+                            R21, t21, tri, pts):
         """Reference CreateInitialMapMonocular (Tracking.cc:2099)."""
         mp = self.atlas.current
-        R21 = np.asarray(res.R21)
-        t21 = np.asarray(res.t21)
-        tri = np.asarray(res.is_triangulated)
-        pts = np.asarray(res.points3d)
 
         f1.R, f1.t = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
         f2.R, f2.t = R21.astype(np.float32), t21.astype(np.float32)
@@ -1015,7 +1099,13 @@ class Tracker:
         # global BA on the 2-KF map (reference: 20 iters)
         local_mapping.run_ba(
             mp, [kf1.kid, kf2.kid], set(), self.project, self.inv_sigma2,
-            n_iters=20,
+            # reference runs GlobalBundleAdjustemnt(map, 20) here with
+            # g2o's early convergence exit; our fixed-budget LM-PCG has
+            # no early exit.  12 LM iterations match 20 in measured ATE;
+            # cutting the CG budget below 40 measurably hurts (0.039 ->
+            # 0.050 on the synthetic sequence), so only the LM count is
+            # trimmed.
+            n_iters=12, cg_iters=40,
         )
 
         # median-depth normalisation (reference Tracking.cc:2166-2195)
@@ -1055,7 +1145,20 @@ class Tracker:
             self.imu_queue.drop_before(f2.timestamp - 0.01)
         self.ref_kf = kf2.kid
         self.last_kf_frame_id = f2.frame_id
-        self.velocity = None
+        if not self.inertial:
+            # seed the motion model from the two init frames (both
+            # poses known, typically adjacent) so the first post-init
+            # frame takes the fused fast path; the actual predecessor
+            # pose rides along so the in-program prediction is exact.
+            # Inertial runs keep the reference behavior (no velocity
+            # until the first tracked frame): their early frames must
+            # route through TrackReferenceKeyFrame while the IMU
+            # initialisation window builds.
+            Rv = (f2.R @ f1.R.T).astype(np.float32)
+            self.velocity = (Rv, (f2.t - Rv @ f1.t).astype(np.float32))
+            self._prev_pose = (f2.frame_id, f1.R.copy(), f1.t.copy())
+        else:
+            self.velocity = None
         self.state = TrackState.OK
         self._record_traj(f1.timestamp, f1.R, f1.t)
         self._record_traj(f2.timestamp, f2.R, f2.t)
@@ -1242,6 +1345,7 @@ class Tracker:
             Rv = frame.R @ lR.T
             tv_ = frame.t - Rv @ lt
             self.velocity = (Rv, tv_)
+            self._prev_pose = (frame.frame_id, lR.copy(), lt.copy())
 
         if self._need_new_keyframe(frame):
             self._create_keyframe(frame)
@@ -1736,12 +1840,14 @@ class Tracker:
             mp.update_point_stats_batch(touched)
         self.ref_kf = kf.kid
         self.last_kf_frame_id = frame.frame_id
-        # synchronous local mapping step (bounded work budget); on the
-        # fused path the triangulation/fuse FETCH is deferred to the
+        # synchronous local mapping step (bounded work budget); in
+        # pipelined mode the triangulation/fuse FETCH is deferred to the
         # next confirmation round trip (reference LocalMapping queue
-        # latency)
+        # latency) — synchronous mode keeps the same-event apply so
+        # keyframe decisions always see a fresh map
         defer = (
-            self.sensor == "monocular" and not self.inertial
+            self.cfg.tracking.pipeline_depth > 0
+            and self.sensor == "monocular" and not self.inertial
             and self.cfg.orb.octree == "device"
         )
         self.local_mapper.process_keyframe(mp, kf.kid, defer_fetch=defer)

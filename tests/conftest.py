@@ -21,16 +21,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite re-traces the same programs
-# every run; caching compiled executables across runs cuts wall-clock
-# dramatically on small-CPU machines.
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-try:
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
-except Exception:
-    pass
+# NOTE: do NOT enable the persistent compilation cache here — this
+# jaxlib's XLA:CPU executable serialization segfaults intermittently
+# when writing certain pose-graph/BA executables (observed crashing in
+# compilation_cache.put_executable_and_time mid-suite).
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

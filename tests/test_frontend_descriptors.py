@@ -222,7 +222,11 @@ def test_device_vs_host_octree_tracking_ate(luna_gray):
             orb=ORBConfig(n_features=1000, octree=octree),
             camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
                                 width=W, height=H),
-            tracking=TrackingConfig(max_frames=6),
+            # legacy tracking stack for BOTH paths: octree="host"
+            # cannot take the fused step, so comparing through the
+            # fused stack would conflate octree choice with tracking
+            # path — this test isolates the octree distribution
+            tracking=TrackingConfig(max_frames=6, use_fused=False),
         )
         s = System(cfg)
         for k, im in enumerate(frames):
