@@ -138,6 +138,7 @@ def main():
     fps = 1.0 / per_frame
 
     extra = _full_slam_bench()
+    extra.update(_loop_bench())
     extra.update(_scaling_bench())
 
     print(
@@ -240,12 +241,97 @@ def _full_slam_bench():
             "slam_fps_14": round(len(frames_a) / dt_a, 2),
             "ate_synth_m": round(ate_of(s_a, poses_a), 4),
             "ate_synth_40_m": round(ate_of(s_b, poses_b), 4),
-            "slam_frames_ok": sum(
-                1 for st in states_b if st == TrackState.OK),
+            # post-flush committed count (per-call pipelined states are
+            # optimistic): only frames that actually tracked land in the
+            # trajectory, and gate-failing batches are replayed before
+            # flush() returns
+            "slam_frames_ok": len(s_b.tracker.trajectory),
             "slam_frames": len(frames_b),
         }
     except Exception as e:  # pragma: no cover — keep the primary metric
         return {"slam_bench_error": str(e)[:200]}
+
+
+def _loop_bench():
+    """Loop-closure scenario (BASELINE config 4 analog): a 100-frame
+    out-and-back sweep with a blackout at the turnaround, driven with a
+    trained vocabulary through the full System.  The blackout severs
+    tracking into a fresh Atlas map; on the way back, place recognition
+    must weld the maps (reference LoopClosing merge path).  Reports the
+    post-correction ATE, the number of loop/merge events, and the
+    maximum single-frame stall (the latency cost of the loop event —
+    correction + weld BA + GBA dispatch all land on one frame)."""
+    try:
+        import cv2
+        import numpy as np
+        import jax.numpy as jnp
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from test_loop_from_pixels import render_loop_sequence
+        from test_slam_e2e import umeyama_align, W, H
+
+        from extractorb_tpu.config import (
+            CameraConfig, ORBConfig, SLAMConfig, TrackingConfig,
+        )
+        from extractorb_tpu.frontend.extractor import ORBExtractor
+        from extractorb_tpu.place.vocab import Vocabulary
+        from extractorb_tpu.slam.system import System
+
+        luna = cv2.imread("/root/reference/pic/luna.jpg", 0)
+        tex = cv2.resize(luna, (2048, 1024))
+        n_frames = 100
+        frames, poses = render_loop_sequence(tex, n_frames=n_frames)
+        black = np.zeros((H, W), np.uint8)
+        b0, b1 = n_frames // 2 - 3, n_frames // 2 + 7  # 10-frame blackout
+
+        ext = ORBExtractor(ORBConfig(n_features=1000), octree="device")
+        descs = []
+        for img in frames[::7]:
+            f = ext(jnp.asarray(img))
+            descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+        vocab = Vocabulary.train(np.concatenate(descs, 0), k=8, L=3, seed=0)
+
+        def run():
+            cfg = SLAMConfig(
+                orb=ORBConfig(n_features=1000),
+                camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                                    width=W, height=H),
+                tracking=TrackingConfig(max_frames=3, pipeline_depth=3,
+                                        time_recently_lost=0.05),
+            )
+            s = System(cfg, vocab=vocab)
+            stalls = []
+            for k, im in enumerate(frames):
+                if b0 <= k < b1:
+                    im = black
+                t0 = time.perf_counter()
+                s.track_monocular(im, k / 30.0)
+                stalls.append(time.perf_counter() - t0)
+            s.flush()
+            return s, stalls
+
+        run()              # program warmup (incl. merge/weld/GBA paths)
+        s, stalls = run()
+
+        traj = s.tracker.final_trajectory()
+        est = np.array([-R.T @ t for _, R, t in traj])
+        gt = np.array([
+            -poses[int(round(ts * 30.0))][0].T
+            @ poses[int(round(ts * 30.0))][1]
+            for ts, _, _ in traj
+        ])
+        aligned = umeyama_align(est, gt)
+        ate = float(np.sqrt(((aligned - gt) ** 2).sum(-1).mean()))
+        lc = s.tracker.loop_closer
+        return {
+            "ate_loop_m": round(ate, 4),
+            "n_loops": lc.n_loops + lc.n_merges,
+            "loop_frames_tracked": len(traj),
+            "max_frame_stall_ms": round(max(stalls[3:]) * 1000.0, 1),
+        }
+    except Exception as e:  # pragma: no cover
+        return {"loop_bench_error": str(e)[:200]}
 
 
 if __name__ == "__main__":

@@ -147,6 +147,25 @@ def normalize_rotation(R):
     return (U * D[..., None, :]) @ Vt
 
 
+def orthonormalize(R):
+    """Cheap SO(3) re-projection for NEAR-orthonormal inputs (two
+    Newton-Schulz iterations, batched over leading dims).
+
+    Multiplicative pose updates (R @ Exp(delta)) preserve any
+    non-orthonormality of R, and the device-chained motion prediction
+    uses R.T as the inverse — for a distorted R that feeds the
+    distortion back SQUARED, so f32 roundoff compounds exponentially
+    across a tracked sequence unless every program's output rotation is
+    re-projected.  Solver outputs call this; it converges quadratically
+    for singular values in (0, sqrt(3)) and costs three 3x3 matmuls per
+    iteration (vs a full SVD for arbitrary inputs: normalize_rotation).
+    """
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    for _ in range(2):
+        R = R @ (1.5 * I3 - 0.5 * (jnp.swapaxes(R, -1, -2) @ R))
+    return R
+
+
 # ---------------------------------------------------------------- SE(3)
 
 

@@ -130,6 +130,112 @@ def build_global_problem(
     return prob, kf_ids, pt_ids, okf, omp, oval
 
 
+class PendingGBA:
+    """A dispatched-but-unfetched global BA (reference: the transient
+    RunGlobalBundleAdjustment thread + mbStopGBA, LoopClosing.cc:1013+231
+    and :2430).
+
+    The Schur-sharded solve executes on the device mesh while tracking
+    keeps processing frames; ``apply`` fetches the result, writes it
+    back, and propagates corrections to keyframes/points created while
+    the solve was in flight (the reference's mnBAGlobalForKF spanning-
+    tree propagation, LoopClosing.cc:2430+8-66).  A pending GBA whose
+    map was superseded (new loop correction, merge, reset) is simply
+    dropped — the reference's mbStopGBA kill.
+    """
+
+    def __init__(self, res, fixed, kf_ids, pt_ids, obs_kf, obs_mp,
+                 obs_valid, old_poses, mid):
+        self.res = res
+        self.fixed = fixed
+        self.kf_ids = kf_ids
+        self.pt_ids = pt_ids
+        self.obs_kf = obs_kf
+        self.obs_mp = obs_mp
+        self.obs_valid = obs_valid
+        self.old_poses = old_poses
+        self.mid = mid
+
+    def is_ready(self) -> bool:
+        """True when the device solve has finished (fetching then costs
+        only the transfer, not a stall)."""
+        try:
+            return bool(self.res.R.is_ready())
+        except AttributeError:  # pragma: no cover — older jax
+            return True
+
+    def apply(self, mp) -> bool:
+        """Fetch + write back + outlier erase + propagation.  Returns
+        False (and does nothing) if ``mp`` is not the map this solve was
+        dispatched for."""
+        if mp.mid != self.mid:
+            return False
+        kf_ids, pt_ids = self.kf_ids, self.pt_ids
+        R_all, t_all, pts_out, inl = jax.device_get(
+            (self.res.R, self.res.t, self.res.points, self.res.inliers)
+        )
+        for i, k in enumerate(kf_ids):
+            if not self.fixed[i] and k in mp.keyframes:
+                mp.keyframes[k].R = np.asarray(R_all[i])
+                mp.keyframes[k].t = np.asarray(t_all[i])
+        live = mp.mp_valid[pt_ids]
+        mp.mp_pos[pt_ids[live]] = np.asarray(pts_out)[: len(pt_ids)][live]
+
+        # outlier observation erase (reference post-BA loop,
+        # Optimizer.cc:2190 region)
+        inl = np.asarray(inl)
+        bad = np.where(self.obs_valid & ~inl)[0]
+        for o in bad:
+            p = int(pt_ids[self.obs_mp[o]]) \
+                if self.obs_mp[o] < len(pt_ids) else -1
+            if p >= 0 and mp.mp_valid[p] \
+                    and kf_ids[self.obs_kf[o]] in mp.keyframes:
+                mp.erase_observation(p, kf_ids[self.obs_kf[o]])
+
+        propagate_corrections(
+            mp, self.old_poses, set(kf_ids), set(pt_ids.tolist())
+        )
+        mp.version += 1
+        return True
+
+
+def dispatch_global_ba(
+    mp,
+    project,
+    inv_sigma2: Sequence[float],
+    n_iters: int = 10,
+    mesh=None,
+    fixed_ids: Optional[Set[int]] = None,
+) -> Optional[PendingGBA]:
+    """Build + dispatch the sharded full-map BA without blocking.
+
+    Uses every available device by default (a 1-device mesh degenerates
+    to the single-chip Schur path).  Returns a PendingGBA handle (the
+    solve runs asynchronously on device), or None if the map is too
+    small for a BA.
+    """
+    if mesh is None:
+        mesh = dmesh.make_mesh()
+    n_dev = int(np.prod(list(mesh.shape.values())))
+
+    built = build_global_problem(mp, inv_sigma2, n_dev, fixed_ids)
+    if built is None:
+        return None
+    prob, kf_ids, pt_ids, obs_kf, obs_mp, obs_valid = built
+
+    # snapshot for propagation to anything outside the problem (and to
+    # keyframes created between dispatch and apply)
+    old_poses = {k: (mp.keyframes[k].R.copy(), mp.keyframes[k].t.copy())
+                 for k in kf_ids}
+
+    res = optimize_schur_sharded(mesh, prob, project, n_iters=n_iters)
+    return PendingGBA(
+        res=res, fixed=np.asarray(jax.device_get(prob.fixed_kf)),
+        kf_ids=kf_ids, pt_ids=pt_ids, obs_kf=obs_kf, obs_mp=obs_mp,
+        obs_valid=obs_valid, old_poses=old_poses, mid=mp.mid,
+    )
+
+
 def run_global_ba(
     mp,
     project,
@@ -138,48 +244,15 @@ def run_global_ba(
     mesh=None,
     fixed_ids: Optional[Set[int]] = None,
 ) -> bool:
-    """Sharded full-map BA + write-back + outlier erase + propagation.
-
-    Uses every available device by default (a 1-device mesh degenerates
-    to the single-chip Schur path).  Returns True when a BA ran.
-    """
-    if mesh is None:
-        mesh = dmesh.make_mesh()
-    n_dev = int(np.prod(list(mesh.shape.values())))
-
-    built = build_global_problem(mp, inv_sigma2, n_dev, fixed_ids)
-    if built is None:
-        return False
-    prob, kf_ids, pt_ids, obs_kf, obs_mp, obs_valid = built
-
-    # snapshot for propagation to anything outside the problem
-    old_poses = {k: (mp.keyframes[k].R.copy(), mp.keyframes[k].t.copy())
-                 for k in kf_ids}
-
-    res = optimize_schur_sharded(mesh, prob, project, n_iters=n_iters)
-    R_all, t_all, pts_out, inl = jax.device_get(
-        (res.R, res.t, res.points, res.inliers)
+    """Synchronous sharded full-map BA: dispatch + apply in one call.
+    Returns True when a BA ran."""
+    pending = dispatch_global_ba(
+        mp, project, inv_sigma2, n_iters=n_iters, mesh=mesh,
+        fixed_ids=fixed_ids,
     )
-
-    fixed = np.asarray(jax.device_get(prob.fixed_kf))
-    for i, k in enumerate(kf_ids):
-        if not fixed[i]:
-            mp.keyframes[k].R = np.asarray(R_all[i])
-            mp.keyframes[k].t = np.asarray(t_all[i])
-    mp.mp_pos[pt_ids] = np.asarray(pts_out)[: len(pt_ids)]
-
-    # outlier observation erase (reference post-BA loop,
-    # Optimizer.cc:2190 region)
-    inl = np.asarray(inl)
-    bad = np.where(obs_valid & ~inl)[0]
-    for o in bad:
-        p = int(pt_ids[obs_mp[o]]) if obs_mp[o] < len(pt_ids) else -1
-        if p >= 0:
-            mp.erase_observation(p, kf_ids[obs_kf[o]])
-
-    propagate_corrections(mp, old_poses, set(kf_ids), set(pt_ids.tolist()))
-    mp.version += 1
-    return True
+    if pending is None:
+        return False
+    return pending.apply(mp)
 
 
 def propagate_corrections(

@@ -239,6 +239,7 @@ def _make_run(mesh, project, n_iters, cg_iters, use_huber, axis):
             lm_step, (R, t, points, lam0), None, length=n_iters
         )
         R, t, points, _ = state
+        R = lie.orthonormalize(R)  # keep keyframe rotations on SO(3)
         r, _, _ = _obs_residual_jac(R, t, points, shard, project)
         chi2 = jnp.sum(r * r, -1) * inv_sigma2
         inliers = obs_valid & (chi2 <= CHI2_MONO)
@@ -466,6 +467,7 @@ def _make_schur_run(mesh, project, n_iters, cg_iters, use_huber, axis):
             lm_step, (R, t, points, lam0), None, length=n_iters
         )
         R, t, points, _ = state
+        R = lie.orthonormalize(R)  # keep keyframe rotations on SO(3)
         shard = BAProblem(
             R=R, t=t, points=points, obs_kf=obs_kf, obs_mp=obs_mp_l,
             obs_uv=obs_uv, inv_sigma2=inv_sigma2, obs_valid=obs_valid,

@@ -30,15 +30,18 @@ def optimize_sharded_pose_graph(
     n_iters: int = 15,
     cg_iters: int = 50,
     axis: str = "shard",
+    fix_scale: bool = False,
 ):
     """Edge-sharded pose-graph LM.  Edge arrays must have length
     divisible by the mesh size (pad with edge_valid=False).  Returns
-    (R, t, s, final_cost) like the single-device solver."""
+    (R, t, s, final_cost) like the single-device solver; fix_scale
+    freezes the per-vertex scale coordinate (the reference's 6-DoF
+    stereo/RGBD essential graph, Optimizer.cc:2621)."""
     n_dev = mesh.shape[axis]
     E = p.edge_i.shape[0]
     assert E % n_dev == 0, (E, n_dev)
 
-    run = _make_run(mesh, n_iters, cg_iters, axis)
+    run = _make_run(mesh, n_iters, cg_iters, axis, fix_scale)
 
     eshard = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
@@ -62,7 +65,7 @@ def optimize_sharded_pose_graph(
 
 
 @functools.lru_cache(maxsize=64)
-def _make_run(mesh, n_iters, cg_iters, axis):
+def _make_run(mesh, n_iters, cg_iters, axis, fix_scale=False):
     """Build + jit the sharded pose-graph program once per
     (mesh, config); bare shard_map calls re-trace every invocation."""
 
@@ -84,6 +87,9 @@ def _make_run(mesh, n_iters, cg_iters, axis):
         K = R0.shape[0]
         dtype = t0.dtype
         free = (~fixed).astype(dtype)[:, None]
+        if fix_scale:
+            # mask the scale tangent dimension (index 6 of the sim3 log)
+            free = free * (jnp.arange(7) < 6).astype(dtype)[None, :]
         zero7 = jnp.zeros(7, dtype)
 
         def build(R, t, s):

@@ -218,13 +218,24 @@ def _unpack_bits_f(desc_u8: jnp.ndarray) -> jnp.ndarray:
 
 def load_orbvoc_text(path: str) -> Vocabulary:
     """Parse the standard ORBvoc.txt format (DBoW2 saveToTextFile):
-    header 'k L scoring weighting', then one node per line:
-    parent_id is_leaf 32-bytes weight.  The reference loads this at
-    src/System.cc:82; the blob itself is stripped from the mount."""
+    header 'k L scoring weighting', then ONE NODE PER LINE in node-id
+    order starting at node id 1 (the root, id 0, is implicit):
+    'parent_id is_leaf d0..d31 weight'.  Parent fields are DBoW2 node
+    ids, so the root's children carry parent_id 0 and line i (0-based)
+    is node id i+1.  The reference loads this at src/System.cc:82; the
+    blob itself is stripped from the mount
+    (.MISSING_LARGE_BLOBS).
+
+    The level-wise dense tables require every root->word path to have
+    length L; words that end early (unbalanced trees — real ORBvoc.txt
+    has them) descend through synthetic passthrough rows whose children
+    all repeat the word's descriptor, so the Hamming-argmin descent
+    reaches the same word id at the last level.
+    """
     with open(path) as f:
         header = f.readline().split()
         k, L = int(header[0]), int(header[1])
-        parents = []
+        parents = []    # by (node id - 1)
         is_leaf = []
         descs = []
         weights = []
@@ -236,37 +247,60 @@ def load_orbvoc_text(path: str) -> Vocabulary:
             is_leaf.append(int(parts[1]) != 0)
             descs.append([int(v) for v in parts[2:34]])
             weights.append(float(parts[34]))
-    parents = np.asarray(parents)
     descs = np.asarray(descs, np.uint8)
     weights_arr = np.asarray(weights)
 
-    # rebuild level-wise tables; node ids in file order (root implicit -1)
+    # node id -> children node ids (ids are 1-based; root is 0)
     children = {}
     for i, p in enumerate(parents):
-        children.setdefault(p, []).append(i)
+        children.setdefault(p, []).append(i + 1)
+
+    def leaf(nid):
+        return is_leaf[nid - 1] or not children.get(nid)
 
     levels_desc, levels_id = [], []
-    current = [(-1, 0)]  # (node_file_id, row)
+    # entries: ("node", nid) expands its children; ("word", nid, wid)
+    # is a passthrough for a word that ended above the last level
+    current = [("node", 0)]
     word_count = 0
     word_of = {}
     for lvl in range(L):
         nd = np.zeros((len(current), k, 32), np.uint8)
         nid = np.full((len(current), k), -1, np.int64)
         nxt = []
-        for row, (fid, _) in enumerate(current):
+        for row, entry in enumerate(current):
+            if entry[0] == "word":
+                _, wnid, wid = entry
+                nd[row, :] = descs[wnid - 1]
+                if lvl == L - 1:
+                    nid[row, :] = wid
+                else:
+                    nid[row, :] = len(nxt)
+                    nxt.append(entry)
+                continue
+            _, fid = entry
             ch = children.get(fid, [])
             for c, cid in enumerate(ch[:k]):
-                nd[row, c] = descs[cid]
-                if lvl == L - 1 or not children.get(cid):
-                    nid[row, c] = word_count
-                    word_of[cid] = word_count
-                    word_count += 1
+                nd[row, c] = descs[cid - 1]
+                if leaf(cid):
+                    wid = word_of.get(cid)
+                    if wid is None:
+                        wid = word_count
+                        word_of[cid] = wid
+                        word_count += 1
+                    if lvl == L - 1:
+                        nid[row, c] = wid
+                    else:
+                        nid[row, c] = len(nxt)
+                        nxt.append(("word", cid, wid))
                 else:
                     nid[row, c] = len(nxt)
-                    nxt.append((cid, 0))
+                    nxt.append(("node", cid))
             for c in range(len(ch), k):
                 if ch:
-                    nd[row, c] = descs[ch[0]]
+                    # pad unused slots with the first child (distance
+                    # ties resolve to the real child)
+                    nd[row, c] = descs[ch[0] - 1]
                     nid[row, c] = nid[row, 0]
         levels_desc.append(nd)
         levels_id.append(nid)
@@ -274,5 +308,37 @@ def load_orbvoc_text(path: str) -> Vocabulary:
 
     w = np.zeros(word_count)
     for cid, wid in word_of.items():
-        w[wid] = weights_arr[cid]
+        w[wid] = weights_arr[cid - 1]
     return Vocabulary(k, L, levels_desc, levels_id, w)
+
+
+def save_orbvoc_text(voc: Vocabulary, path: str):
+    """Write a Vocabulary in the DBoW2 saveToTextFile format (the format
+    load_orbvoc_text reads and the reference loads at src/System.cc:82).
+
+    Nodes get DBoW2 ids in breadth-first order (root = 0, ids written
+    in order, parent fields reference node ids).  Padded child slots
+    (duplicates of child 0) are skipped."""
+    lines = []
+    next_id = 1
+    # queue entries: (level, row, dbow_parent_id)
+    queue = [(0, 0, 0)]
+    while queue:
+        lvl, row, parent = queue.pop(0)
+        nd = voc.children_desc[lvl][row]
+        nid = voc.children_id[lvl][row]
+        for c in range(voc.k):
+            if nid[c] < 0 or (c > 0 and nid[c] == nid[0]):
+                continue  # missing / padded duplicate slot
+            my_id = next_id
+            next_id += 1
+            d = " ".join(str(int(v)) for v in nd[c])
+            if lvl == voc.L - 1:
+                wgt = float(voc.weights[int(nid[c])])
+                lines.append(f"{parent} 1 {d} {wgt!r}")
+            else:
+                lines.append(f"{parent} 0 {d} 0.0")
+                queue.append((lvl + 1, int(nid[c]), my_id))
+    with open(path, "w") as f:
+        f.write(f"{voc.k} {voc.L}  0 0\n")
+        f.write("\n".join(lines) + "\n")

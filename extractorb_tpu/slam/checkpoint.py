@@ -164,6 +164,11 @@ def _get_frame(z, p: str, Frame):
     return Frame(
         frame_id=int(z[f"{p}_meta"][0]), timestamp=float(z[f"{p}_meta"][1]),
         feats=feats, xy_un=np.asarray(z[f"{p}_xy_un"]),
+        # device copy of the undistorted coords must survive the round
+        # trip: a session resumed MID-monocular-init on a distorted lens
+        # otherwise feeds raw pixel coords into the init matching
+        # (_monocular_initialization reads f.un_dev else f.feats.xy)
+        un_dev=jnp.asarray(z[f"{p}_xy_un"]),
         octave=np.asarray(z[f"{p}_octave"]),
         angle=np.asarray(z[f"{p}_angle"]), desc=np.asarray(z[f"{p}_desc"]),
         valid=np.asarray(z[f"{p}_valid"]), kp_mp=z[f"{p}_kp_mp"].copy(),

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..frontend import matcher as fm
+from ..utils.packed_fetch import pack_fetch
 from ..geometry import two_view as tv
 from ..solver import ba as sba
 from .map import INVALID, SLAMMap
@@ -165,7 +166,7 @@ class PendingBA:
 
     def apply(self, mp: SLAMMap):
         res = self.res
-        R_all, t_all, pts_out, inl = jax.device_get(
+        R_all, t_all, pts_out, inl = pack_fetch(
             (res.R, res.t, res.points, res.inliers)
         )
         R_out = np.asarray(R_all)[: self.K]
@@ -305,9 +306,23 @@ class LocalMapper:
     def discard_ba(self):
         """Drop the in-flight window BA and deferred triangulation/fuse
         results (map poses were rewritten by a loop correction / merge /
-        gravity alignment underneath them)."""
+        gravity alignment underneath them).
+
+        Divergence from synchronous mode, by design: the keyframe whose
+        triangulation/fuse was in flight keeps a sparser local map at
+        the event (the results were computed against pre-correction
+        poses and cannot be applied).  The next keyframe's triangulation
+        refills the window.  The notifier still fires so the tracker's
+        weak-tracking gate re-arms on the same contract as apply_tf."""
         self._pending_ba = None
         self._pending_tf = None
+        if self.on_tf_applied is not None:
+            self.on_tf_applied()
+
+    def has_pending_tf(self) -> bool:
+        """True while deferred triangulation/fuse results are in flight
+        (the tracker gates its weak-tracking keyframe trigger on this)."""
+        return self._pending_tf is not None
 
     # ---- deferred triangulation/fuse (fetch rides the next confirm)
 
@@ -342,7 +357,7 @@ class LocalMapper:
         """Fetch + apply deferred triangulation/fuse, if any."""
         if self._pending_tf is None:
             return
-        fetched = jax.device_get(self.pending_tf_handles())
+        fetched = pack_fetch(self.pending_tf_handles())
         self.apply_tf(mp, fetched)
 
     # ----------------------------------------------------------- pipeline

@@ -67,7 +67,6 @@ class LoopThresholds:
     n_proj_refine: int = 30           # DetectAndReffine nProjMatches
     n_proj_opt_refine: int = 50       # DetectAndReffine nProjOptMatches
     n_proj_rep: int = 100             # DetectAndReffine nProjMatchesRep
-    gba_max_kfs: int = 200            # CorrectLoop GBA size gate
 
 
 @dataclasses.dataclass
@@ -93,7 +92,8 @@ def _sim3_compose(Ra, ta, sa, Rb, tb, sb):
 class LoopCloser:
     def __init__(self, vocab, project, scale_factors=None, img_wh=None,
                  inv_sigma2=None, thresholds: Optional[LoopThresholds] = None,
-                 fix_scale: bool = False, imu_calib=None):
+                 fix_scale: bool = False, imu_calib=None,
+                 async_gba: bool = True):
         from ..place.database import KeyFrameDatabase
 
         self.db = KeyFrameDatabase(vocab, capacity=256) if vocab else None
@@ -108,9 +108,46 @@ class LoopCloser:
         self.th = thresholds or LoopThresholds()
         self.n_loops = 0
         self.n_merges = 0
+        # Concurrent GBA (reference: transient RunGlobalBundleAdjustment
+        # thread + mbStopGBA, LoopClosing.cc:1013+231): the post-loop
+        # full-map solve is dispatched to the device mesh and applied on
+        # a LATER keyframe event (or finish()), so the camera feed never
+        # stalls for the solve.  False = apply inline (deterministic
+        # tests / offline refinement).
+        self.async_gba = async_gba
+        self.pending_gba = None
+        self.n_gba_applied = 0
+        # essential graphs with at least this many edges run the
+        # edge-sharded multi-device solver (dist/sharded_pose_graph);
+        # smaller graphs stay single-device (identical fixed point,
+        # cheaper dispatch)
+        self.sharded_graph_min_edges = 256
         self._rng = np.random.default_rng(7)
         self._pending: Optional[_Pending] = None
         self._words: Dict[Tuple[int, int], np.ndarray] = {}
+
+    # ------------------------------------------------------- pending GBA
+
+    def poll_gba(self, mp: SLAMMap, force: bool = False):
+        """Apply a finished in-flight GBA (reference: the GBA thread's
+        write-back section runs when the solve ends; here the host
+        checks at each keyframe event).  With force=True, block until
+        the device solve completes (flush semantics)."""
+        p = self.pending_gba
+        if p is None:
+            return
+        if p.mid != mp.mid:
+            # the map this solve belonged to was dropped or welded away
+            self.pending_gba = None
+            return
+        if force or p.is_ready():
+            self.pending_gba = None
+            if p.apply(mp):
+                self.n_gba_applied += 1
+
+    def finish(self, mp: SLAMMap):
+        """Settle any in-flight GBA (called from Tracker.flush)."""
+        self.poll_gba(mp, force=True)
 
     # ------------------------------------------------------------ per-KF
 
@@ -120,6 +157,7 @@ class LoopCloser:
         merge-info dict (truthy) from slam.merge.merge_maps."""
         if self.db is None:
             return False
+        self.poll_gba(mp)
         mid = mp.mid
         kf = mp.keyframes[kf_id]
         # "connected" = the weight>=15 covisibility graph (reference
@@ -747,6 +785,10 @@ class LoopCloser:
         # Schur BA over every available device (dist/global_ba.py) — no
         # size gate: problem capacity scales with the mesh.  Inertial
         # maps run FullInertialBA like the reference (:2430+8 branch).
+        # In async mode the solve is DISPATCHED here and applied on a
+        # later keyframe event (reference: transient GBA thread); a
+        # still-in-flight previous solve is superseded and dropped
+        # (reference mbStopGBA kill, LoopClosing.cc:1013+7-24).
         self._run_gba(mp)
         mp.version += 1
 
@@ -760,11 +802,19 @@ class LoopCloser:
             return
         from ..dist import global_ba
 
-        global_ba.run_global_ba(
+        self.pending_gba = None  # superseded by this fresh correction
+        pending = global_ba.dispatch_global_ba(
             mp, self.project,
             self.inv_sigma2 if self.inv_sigma2 is not None else [1.0] * 8,
             n_iters=10,
         )
+        if pending is None:
+            return
+        if self.async_gba:
+            self.pending_gba = pending
+        else:
+            if pending.apply(mp):
+                self.n_gba_applied += 1
 
     def _optimize_essential_graph(self, mp: SLAMMap, kf_id: int,
                                   cand_id: int, window: List[int],
@@ -860,22 +910,54 @@ class LoopCloser:
             s_new = np.ones(K, np.float32)
             self._apply_graph_result(mp, kf_ids, index, R_new, t_new, s_new)
             return
+        # Large graphs shard their edge axis over the device mesh
+        # (dist/sharded_pose_graph: per-edge residual/Jacobian build on
+        # each device, psum-reduced GN system — SURVEY §5.7's scale
+        # story for the essential graph, which grows with trajectory
+        # length, reference Optimizer.cc:2303 over ALL keyframes).
+        # Small graphs stay on one device: the fixed point is identical
+        # and the dispatch is cheaper.
+        import jax as _jax
+
+        n_dev = len(_jax.devices())
+        use_sharded = (E >= self.sharded_graph_min_edges and n_dev > 1)
+        E_pad = -(-E // n_dev) * n_dev if use_sharded else E
+        ei = np.zeros(E_pad, np.int32)
+        ej = np.zeros(E_pad, np.int32)
+        mRs = np.tile(np.eye(3, dtype=np.float32), (E_pad, 1, 1))
+        mts = np.zeros((E_pad, 3), np.float32)
+        mss = np.ones(E_pad, np.float32)
+        ws = np.zeros(E_pad, np.float32)
+        ev = np.zeros(E_pad, bool)
+        ei[:E] = [e[0] for e in edges]
+        ej[:E] = [e[1] for e in edges]
+        mRs[:E] = np.stack([e[2] for e in edges])
+        mts[:E] = np.stack([e[3] for e in edges])
+        mss[:E] = [e[4] for e in edges]
+        ws[:E] = [e[5] for e in edges]
+        ev[:E] = True
         prob = pg.PoseGraphProblem(
             R=jnp.asarray(Rs), t=jnp.asarray(ts), s=jnp.asarray(ss),
-            edge_i=jnp.asarray(np.array([e[0] for e in edges], np.int32)),
-            edge_j=jnp.asarray(np.array([e[1] for e in edges], np.int32)),
-            m_R=jnp.asarray(np.stack([e[2] for e in edges])),
-            m_t=jnp.asarray(np.stack([e[3] for e in edges])),
-            m_s=jnp.asarray(np.array([e[4] for e in edges], np.float32)),
-            weight=jnp.asarray(np.array([e[5] for e in edges], np.float32)),
-            edge_valid=jnp.ones(E, bool),
+            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            m_R=jnp.asarray(mRs), m_t=jnp.asarray(mts),
+            m_s=jnp.asarray(mss), weight=jnp.asarray(ws),
+            edge_valid=jnp.asarray(ev),
             fixed=jnp.asarray(np.array([k == cand_id for k in kf_ids])),
         )
         # stereo/RGBD: scale is observable -> 6-DoF fixed-scale graph
         # (reference OptimizeEssentialGraph bFixScale, Optimizer.cc:2621)
-        R_new, t_new, s_new, _ = pg.optimize_pose_graph(
-            prob, n_iters=15, fix_scale=self.fix_scale
-        )
+        if use_sharded:
+            from ..dist import mesh as dmesh
+            from ..dist import sharded_pose_graph as dpg
+
+            R_new, t_new, s_new, _ = dpg.optimize_sharded_pose_graph(
+                dmesh.make_mesh(), prob, n_iters=15,
+                fix_scale=self.fix_scale,
+            )
+        else:
+            R_new, t_new, s_new, _ = pg.optimize_pose_graph(
+                prob, n_iters=15, fix_scale=self.fix_scale
+            )
         self._apply_graph_result(
             mp, kf_ids, index,
             np.asarray(R_new), np.asarray(t_new), np.asarray(s_new),

@@ -24,6 +24,7 @@ import numpy as np
 from ..config import SLAMConfig
 from ..core.camera import Pinhole, undistort_points_pinhole
 from ..frontend import matcher as fm
+from ..utils.packed_fetch import pack_fetch
 from ..frontend.extractor import Features, ORBExtractor
 from ..geometry import two_view as tv
 from ..solver import ba as sba
@@ -101,7 +102,7 @@ class Frame:
         handles = self.host_handles()
         if fetch_kp:
             handles = handles + (self.kp_mp_dev,)
-        vals = jax.device_get(handles)
+        vals = pack_fetch(handles)
         self.set_host(vals[:5])
         if fetch_kp:
             self.kp_mp = np.asarray(vals[5]).copy()
@@ -592,10 +593,11 @@ class Tracker:
 
     def flush(self):
         """Settle all in-flight pipelined frames (states, trajectory,
-        keyframe decisions) and deferred mapping results.  No-op in
-        synchronous mode."""
+        keyframe decisions), deferred mapping results, and any in-flight
+        async global BA.  No-op in synchronous mode."""
         self._confirm_pipe()
         self.local_mapper.flush_tf(self.atlas.current)
+        self.loop_closer.finish(self.atlas.current)
 
     def _confirm_pipe(self):
         """Pay one device round trip to confirm every in-flight frame:
@@ -636,7 +638,7 @@ class Tracker:
                 break
         if spec_idx is not None:
             payload.append(self._kf_fetch_handles(pending[spec_idx]))
-        fetched = jax.device_get(payload)
+        fetched = pack_fetch(payload)
         spec_vals = fetched[n_gate + bool(tf_handles)] \
             if spec_idx is not None else None
         if tf_handles:
@@ -691,7 +693,7 @@ class Tracker:
                 # feature host copies: prefetched when this is the
                 # speculated cadence keyframe, one extra fetch otherwise
                 # (rare weak-tracking keyframes)
-                vals = spec_vals if i == spec_idx else jax.device_get(
+                vals = spec_vals if i == spec_idx else pack_fetch(
                     self._kf_fetch_handles(e)
                 )
                 frame.set_host(vals)
@@ -1681,7 +1683,7 @@ class Tracker:
         # (reference analog: SetAcceptKeyFrames(false) while
         # LocalMapping is mid-keyframe, src/LocalMapping.cc:75,264).
         c2_allowed = (
-            self.local_mapper._pending_tf is None
+            not self.local_mapper.has_pending_tf()
             and frame.frame_id >= self._pts_fresh_fid
         )
         c2 = c2_allowed and (

@@ -239,6 +239,9 @@ def optimize(
     state = (p.R, p.t, p.points, lam0, jnp.asarray(jnp.inf, dtype))
     state, _ = jax.lax.scan(lm_step, state, None, length=n_iters)
     R, t, points, _, cost = state
+    # keep keyframe rotations on SO(3) (see solver/pose_opt.py: residual
+    # distortion feeds back exponentially through chained predictions)
+    R = lie.orthonormalize(R)
 
     r, _, _ = _obs_residual_jac(R, t, points, p, project, bf)
     chi2 = jnp.sum(r * r, -1) * p.inv_sigma2

@@ -397,6 +397,7 @@ def optimize_vi_ba(
              jnp.asarray(jnp.inf, dtype))
     state, _ = jax.lax.scan(lm_step, state, None, length=n_iters)
     Rwb, twb, v, bg, ba, points, _, cost = state
+    Rwb = lie.orthonormalize(Rwb)  # keep body rotations on SO(3)
 
     r, _, _ = _vis_residual_jac(Rwb, twb, points, p, project)
     chi2 = jnp.sum(r * r, -1) * p.inv_sigma2
@@ -637,6 +638,7 @@ def optimize_pose_inertial(
     )
     carry, _ = jax.lax.scan(run_round, carry, use_huber_sched)
     Rc, tc, vc, bgc, bac, active = carry
+    Rc = lie.orthonormalize(Rc)  # keep body rotation on SO(3)
 
     # final Hessian (marginal information for the next frame's prior)
     pb_safe = Rcb.T @ (jnp.array([0.0, 0.0, 1.0], dtype) - tcb)

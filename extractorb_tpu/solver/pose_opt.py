@@ -140,6 +140,12 @@ def optimize_pose(
         use_huber = jnp.asarray(rnd < 3)
         state, _ = lm_iters(state, use_huber)
     R, t, active = state
+    # Project back onto SO(3): the multiplicative updates preserve any
+    # input non-orthonormality and add f32 roundoff; downstream the
+    # device-chained motion prediction uses R.T as R^-1, which squares
+    # residual distortion every frame (exponential blow-up over a
+    # sequence) unless each program output is re-orthonormalized.
+    R = lie.orthonormalize(R)
     return PoseOptResult(
         R=R, t=t, inliers=active, n_inliers=jnp.sum(active.astype(jnp.int32))
     )
