@@ -202,7 +202,7 @@ def _full_slam_bench():
                 orb=ORBConfig(n_features=1000),
                 camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
                                     width=W, height=H),
-                tracking=TrackingConfig(max_frames=6, pipeline_depth=3),
+                tracking=TrackingConfig(max_frames=6, pipeline_depth=5),
             )
             s = System(cfg)
             t0 = time.perf_counter()

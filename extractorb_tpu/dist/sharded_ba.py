@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import lie
-from ..solver.ba import BAProblem, BAResult, _obs_residual_jac
+from ..solver.ba import (BAProblem, BAResult, _obs_residual_jac,
+                         _obs_residual_only)
 from ..solver.robust import DELTA_MONO, CHI2_MONO, huber_weight
 
 
@@ -212,7 +213,7 @@ def _make_run(mesh, project, n_iters, cg_iters, use_huber, axis):
             pn = points + dl
 
             def cost(Rc, tc, pc):
-                r2, _, _ = _obs_residual_jac(Rc, tc, pc, shard, project)
+                r2 = _obs_residual_only(Rc, tc, pc, shard, project)
                 c2 = jnp.sum(r2 * r2, -1) * inv_sigma2
                 if use_huber:
                     d2 = DELTA_MONO * DELTA_MONO
@@ -240,7 +241,7 @@ def _make_run(mesh, project, n_iters, cg_iters, use_huber, axis):
         )
         R, t, points, _ = state
         R = lie.orthonormalize(R)  # keep keyframe rotations on SO(3)
-        r, _, _ = _obs_residual_jac(R, t, points, shard, project)
+        r = _obs_residual_only(R, t, points, shard, project)
         chi2 = jnp.sum(r * r, -1) * inv_sigma2
         inliers = obs_valid & (chi2 <= CHI2_MONO)
         cost = jax.lax.psum(jnp.sum(jnp.where(obs_valid, chi2, 0.0)), axis)
@@ -440,7 +441,7 @@ def _make_schur_run(mesh, project, n_iters, cg_iters, use_huber, axis):
                     obs_valid=obs_valid, fixed_kf=fixed_kf,
                     fixed_mp=fixed_mp,
                 )
-                r2, _, _ = _obs_residual_jac(Rc, tc, pc, shard, project)
+                r2 = _obs_residual_only(Rc, tc, pc, shard, project)
                 c2 = jnp.sum(r2 * r2, -1) * inv_sigma2
                 if use_huber:
                     d2 = DELTA_MONO * DELTA_MONO
@@ -473,7 +474,7 @@ def _make_schur_run(mesh, project, n_iters, cg_iters, use_huber, axis):
             obs_uv=obs_uv, inv_sigma2=inv_sigma2, obs_valid=obs_valid,
             fixed_kf=fixed_kf, fixed_mp=fixed_mp,
         )
-        r, _, _ = _obs_residual_jac(R, t, points, shard, project)
+        r = _obs_residual_only(R, t, points, shard, project)
         chi2 = jnp.sum(r * r, -1) * inv_sigma2
         inliers = obs_valid & (chi2 <= CHI2_MONO)
         cost = jax.lax.psum(jnp.sum(jnp.where(obs_valid, chi2, 0.0)), axis)

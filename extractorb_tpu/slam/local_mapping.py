@@ -101,8 +101,11 @@ def run_ba(
         return int(np.ceil(n / ladder[-1]) * ladder[-1])
 
     Kp = bucket(K, (32, 64, 128, 256))
-    Pp = bucket(P, (2048, 8192, 32768))
-    Op = bucket(O, (8192, 32768, 131072))
+    # device solve time scales ~linearly with the padded observation
+    # count (~150 ms at O=32768 on the tunneled chip), so a 2x ladder
+    # keeps the padding waste bounded at <2x
+    Pp = bucket(P, (2048, 4096, 8192, 16384, 32768))
+    Op = bucket(O, (8192, 16384, 32768, 65536, 131072))
     Rs_p = np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))
     ts_p = np.zeros((Kp, 3), np.float32)
     Rs_p[:K], ts_p[:K] = Rs, ts
@@ -135,6 +138,13 @@ def run_ba(
         fixed_kf=jnp.asarray(fixed_p),
         fixed_mp=jnp.asarray(fixed_mp_p),
     )
+    # Deliberately matrix-free CG, not the exact dense-Schur solve: the
+    # truncated CG step is an implicit trust region along the window's
+    # weakly-observable directions (monocular scale), and switching the
+    # engine's window BA to solver="schur_dense" measurably degraded
+    # end-to-end ATE (0.009 -> 0.043 on the 40-frame synthetic) for a
+    # ~7 ms/solve win.  The dense solver remains available for
+    # well-anchored problems.
     res = sba.optimize(prob, project, n_iters=n_iters, cg_iters=cg_iters)
     pending = PendingBA(
         res=res, kf_ids=kf_ids, kf_index=kf_index, fixed=fixed,
@@ -166,9 +176,12 @@ class PendingBA:
 
     def apply(self, mp: SLAMMap):
         res = self.res
-        R_all, t_all, pts_out, inl = pack_fetch(
+        self.apply_fetched(mp, pack_fetch(
             (res.R, res.t, res.points, res.inliers)
-        )
+        ))
+
+    def apply_fetched(self, mp: SLAMMap, fetched):
+        R_all, t_all, pts_out, inl = fetched
         R_out = np.asarray(R_all)[: self.K]
         t_out = np.asarray(t_all)[: self.K]
         for k, i in self.kf_index.items():
@@ -241,9 +254,15 @@ def _triangulation_program(scale_factors, inv_sigma2, B, N):
 
 def _bucket_b(b: int) -> int:
     """Pad the neighbour/job axis to a coarse ladder: each distinct B is
-    a separate XLA program (~30 s first compile on TPU), and padded
-    batch entries are nearly free compute, so two buckets suffice."""
-    return 4 if b <= 4 else 12
+    a separate XLA program (~30 s first compile on TPU).  Padded batch
+    entries are NOT free — each is a full (M, N) search — so a middle
+    bucket keeps the common 5-8-job fuse/triangulation events from
+    paying the 12-wide program."""
+    if b <= 4:
+        return 4
+    if b <= 8:
+        return 8
+    return 12
 
 
 @functools.lru_cache(maxsize=None)
@@ -302,6 +321,23 @@ class LocalMapper:
         self._pending_ba = None
         if p is not None and self._pending_ba_mid == mp.mid:
             p.apply(mp)
+
+    def pending_ba_handles(self):
+        """Device arrays of the in-flight window BA result, for
+        piggybacking on the tracker's confirmation fetch (a separate
+        fetch pays a full tunnel round trip).  [] when nothing pending."""
+        if self._pending_ba is None:
+            return []
+        r = self._pending_ba.res
+        return [r.R, r.t, r.points, r.inliers]
+
+    def apply_ba_fetched(self, mp: SLAMMap, vals):
+        """Apply the in-flight window BA from already-fetched host
+        values (the pending_ba_handles structure)."""
+        p = self._pending_ba
+        self._pending_ba = None
+        if p is not None and self._pending_ba_mid == mp.mid:
+            p.apply_fetched(mp, vals)
 
     def discard_ba(self):
         """Drop the in-flight window BA and deferred triangulation/fuse

@@ -562,7 +562,9 @@ class Tracker:
         self.last_frame = frame
         self.state = TrackState.OK
         if len(self._pipe) > self.cfg.tracking.pipeline_depth:
-            self._confirm_pipe()
+            # keep the 2 newest frames computing on device while the
+            # host settles the older ones
+            self._confirm_pipe(keep=min(2, self.cfg.tracking.pipeline_depth - 1))
         return self.state
 
     def _ref_block(self, mp: SLAMMap):
@@ -599,18 +601,27 @@ class Tracker:
         self.local_mapper.flush_tf(self.atlas.current)
         self.loop_closer.finish(self.atlas.current)
 
-    def _confirm_pipe(self):
-        """Pay one device round trip to confirm every in-flight frame:
+    def _confirm_pipe(self, keep: int = 0):
+        """Pay one device round trip to confirm in-flight frames:
         gates, velocity/trajectory commits, keyframe decisions.  A frame
         that fails its gates (or follows a pose-rewriting loop closure /
         merge) is replayed through the legacy state machine.  The local
         mapper's deferred triangulation/fuse results ride the same
-        fetch."""
+        fetch.
+
+        ``keep`` leaves that many of the NEWEST frames in flight: the
+        blocking fetch then only waits for work dispatched >= keep
+        frames ago (usually already finished), so the device keeps
+        computing the chain tail while the host does confirmation
+        bookkeeping — without it every confirm stalls on the frame
+        dispatched microseconds earlier."""
         if not self._pipe:
             self.local_mapper.flush_tf(self.atlas.current)
             return
-        pending = self._pipe
-        self._pipe = []
+        keep = min(keep, len(self._pipe) - 1)
+        n_confirm = len(self._pipe) - keep
+        pending = self._pipe[:n_confirm]
+        self._pipe = self._pipe[n_confirm:]
         tf_handles = self.local_mapper.pending_tf_handles()
         # kp_mp + lm_searched ride along for every entry (~9 KB each):
         # the found/visible counters MUST tick every frame — sampling
@@ -624,6 +635,12 @@ class Tracker:
             for e in pending
         ]
         n_gate = len(payload)
+        # the previous keyframe's in-flight window BA result rides this
+        # same round trip (a separate flush_ba fetch pays a full ~25 ms
+        # tunnel round trip at the next keyframe event)
+        ba_handles = self.local_mapper.pending_ba_handles()
+        if ba_handles:
+            payload.append(ba_handles)
         if tf_handles:
             payload.append(tf_handles)
         # speculative keyframe prefetch: the cadence trigger (c1a) is
@@ -639,10 +656,18 @@ class Tracker:
         if spec_idx is not None:
             payload.append(self._kf_fetch_handles(pending[spec_idx]))
         fetched = pack_fetch(payload)
-        spec_vals = fetched[n_gate + bool(tf_handles)] \
+        extra = n_gate
+        if ba_handles:
+            # apply the OLDER result first: window BA predates the
+            # deferred triangulation/fuse of the newest keyframe
+            self.local_mapper.apply_ba_fetched(
+                self.atlas.current, fetched[extra]
+            )
+            extra += 1
+        spec_vals = fetched[extra + bool(tf_handles)] \
             if spec_idx is not None else None
         if tf_handles:
-            self.local_mapper.apply_tf(self.atlas.current, fetched[n_gate])
+            self.local_mapper.apply_tf(self.atlas.current, fetched[extra])
         fetched = fetched[:n_gate]
         kf_created = False
         for i, (e, (R, t, n_match, n1, n2, used_ref, n_pre,
@@ -658,7 +683,9 @@ class Tracker:
                 or (bool(used_ref) and int(n_pre) >= 10)
             )
             if not ok:
-                self._replay(pending[i:])
+                rest = pending[i:] + self._pipe
+                self._pipe = []
+                self._replay(rest)
                 return
             frame.R = np.asarray(R).copy()
             frame.t = np.asarray(t).copy()
@@ -698,14 +725,17 @@ class Tracker:
                 )
                 frame.set_host(vals)
                 self._create_keyframe(frame)
-                if self.velocity is None and i + 1 < len(pending):
+                if self.velocity is None and \
+                        (i + 1 < len(pending) or self._pipe):
                     # a loop closure / merge rewrote the map poses: the
                     # remaining chained frames were predicted in the old
                     # frame of reference
-                    self._replay(pending[i + 1:])
+                    rest = pending[i + 1:] + self._pipe
+                    self._pipe = []
+                    self._replay(rest)
                     return
             self._record_traj(e.ts, frame.R, frame.t)
-            if i == len(pending) - 1:
+            if i == len(pending) - 1 and not self._pipe:
                 self.last_frame = frame
 
     @staticmethod

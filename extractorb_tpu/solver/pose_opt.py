@@ -61,6 +61,18 @@ def _residuals_and_jac(R, t, pts_w, obs_uv, project, obs_ur=None, bf=0.0):
     return jax.vmap(per_obs)(pts_w, obs_uv, ur_arg)
 
 
+def _residuals_only(R, t, pts_w, obs_uv, project, obs_ur=None, bf=0.0):
+    """Residuals without Jacobians (cost checks only need the primal;
+    the jacfwd path evaluates the projection once per tangent)."""
+    pc = pts_w @ R.T + t
+    duv = obs_uv - jax.vmap(project)(pc)
+    if obs_ur is None:
+        return duv
+    u_r = jax.vmap(project)(pc)[:, 0] - bf / pc[:, 2]
+    r3 = jnp.where(obs_ur >= 0, obs_ur - u_r, 0.0)
+    return jnp.concatenate([duv, r3[:, None]], axis=1)
+
+
 @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def optimize_pose(
     R0, t0, pts_w, obs_uv, inv_sigma2, valid, project,
@@ -106,17 +118,21 @@ def optimize_pose(
             Rn = R @ dR
             tn = R @ dt + t
             # accept if cost decreased, else raise lambda (Levenberg)
-            def cost(Rc, tc):
-                rr, _ = _residuals_and_jac(Rc, tc, pts_w, obs_uv, project, obs_ur, bf)
-                c2 = jnp.sum(rr * rr, -1) * inv_sigma2
+            def rho_of(c2):
                 d2 = delta_h * delta_h
                 rho = jnp.where(
                     c2 <= d2, c2, 2.0 * delta_h * jnp.sqrt(c2) - d2
                 )
-                rho = jnp.where(use_huber, rho, c2)
-                return jnp.sum(jnp.where(active, rho, 0.0))
+                return jnp.where(use_huber, rho, c2)
 
-            c_old = cost(R, t)
+            def cost(Rc, tc):
+                rr = _residuals_only(Rc, tc, pts_w, obs_uv, project,
+                                     obs_ur, bf)
+                c2 = jnp.sum(rr * rr, -1) * inv_sigma2
+                return jnp.sum(jnp.where(active, rho_of(c2), 0.0))
+
+            # current-state cost from this iteration's own residuals
+            c_old = jnp.sum(jnp.where(active, rho_of(chi2), 0.0))
             c_new = cost(Rn, tn)
             better = c_new < c_old
             R_out = jnp.where(better, Rn, R)
@@ -128,7 +144,7 @@ def optimize_pose(
             one_iter, (R, t, jnp.asarray(1e-3, R.dtype)), None, length=n_iters
         )
         # outlier re-classification for the next round
-        r, _ = _residuals_and_jac(R, t, pts_w, obs_uv, project, obs_ur, bf)
+        r = _residuals_only(R, t, pts_w, obs_uv, project, obs_ur, bf)
         chi2 = jnp.sum(r * r, -1) * inv_sigma2
         active = valid & (chi2 <= chi2_th)
         return (R, t, active), None

@@ -10,9 +10,27 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # the env globally sets axon (TPU tunnel)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "parallel_codegen_split_count" not in flags:
+    # this jaxlib's XLA:CPU parallel codegen segfaults intermittently
+    # when compiling BA programs deep into the suite (observed twice at
+    # the same mid-suite compile; single-test runs pass) — serialize it
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
+
+# The suite compiles hundreds of XLA:CPU executables whose JIT code
+# pages accumulate ~45k+ memory mappings; at the default
+# vm.max_map_count (65530) mmap starts failing ~halfway through and the
+# LLVM JIT SEGFAULTS on the next big compile (observed 3x at ~48%,
+# always inside backend_compile).  Raise the limit when we can
+# (privileged container); harmless no-op otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 1_000_000:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write("1000000")
+except (OSError, PermissionError, ValueError):
+    pass
 
 # The jaxtyping pytest plugin imports jax BEFORE this conftest runs, which
 # snapshots JAX_PLATFORMS=axon (the TPU tunnel) into jax.config.  Override

@@ -252,3 +252,38 @@ def test_marginalize_condition_sparsify(rng):
     got_s = np.asarray(mg.sparsify(jnp.asarray(H), 0, 2, 6, 8))
     np.testing.assert_allclose(got_s[0:3, 6:9], 0, atol=2e-3)
     np.testing.assert_allclose(got_s[6:9, 0:3], 0, atol=2e-3)
+
+
+def test_schur_dense_matches_cg(rng):
+    """The dense-Schur direct solver reaches the same fixed point as
+    matrix-free CG (solver/ba.py solver= option)."""
+    import jax.numpy as jnp
+    from extractorb_tpu.core import lie
+
+    Rs, ts, pts, obs = make_ba_scene(rng, n_kf=6, n_mp=120)
+    K, P, O = len(Rs), len(pts), len(obs)
+    obs_kf = np.array([o[0] for o in obs], np.int32)
+    obs_mp = np.array([o[1] for o in obs], np.int32)
+    obs_uv = np.array([[o[2], o[3]] for o in obs], np.float32)
+    Rs_n, ts_n = Rs.copy(), ts.copy()
+    for k in range(1, K):
+        dR, dt = lie.se3_exp(
+            jnp.asarray(rng.normal(size=6).astype(np.float32) * 0.01))
+        Rs_n[k] = Rs[k] @ np.asarray(dR)
+        ts_n[k] = Rs[k] @ np.asarray(dt) + ts[k]
+    pts_n = pts + rng.normal(size=pts.shape).astype(np.float32) * 0.05
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    prob = sba.BAProblem(
+        R=jnp.asarray(Rs_n), t=jnp.asarray(ts_n), points=jnp.asarray(pts_n),
+        obs_kf=jnp.asarray(obs_kf), obs_mp=jnp.asarray(obs_mp),
+        obs_uv=jnp.asarray(obs_uv), inv_sigma2=jnp.ones(O, jnp.float32),
+        obs_valid=jnp.ones(O, bool), fixed_kf=jnp.asarray(fixed),
+        fixed_mp=jnp.zeros(P, bool),
+    )
+    r_cg = sba.optimize(prob, project, n_iters=8, cg_iters=60, solver="cg")
+    r_d = sba.optimize(prob, project, n_iters=8, solver="schur_dense")
+    assert float(r_d.cost) <= float(r_cg.cost) * 1.05 + 1e-3
+    np.testing.assert_allclose(
+        np.asarray(r_d.R), np.asarray(r_cg.R), atol=5e-3
+    )
