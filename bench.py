@@ -138,6 +138,7 @@ def main():
     fps = 1.0 / per_frame
 
     extra = _full_slam_bench()
+    extra.update(_stereo_bench())
     extra.update(_loop_bench())
     extra.update(_scaling_bench())
 
@@ -250,6 +251,63 @@ def _full_slam_bench():
         }
     except Exception as e:  # pragma: no cover — keep the primary metric
         return {"slam_bench_error": str(e)[:200]}
+
+
+def _stereo_bench():
+    """Stereo whole-system fps on the fused/pipelined path (in-program
+    right-image extraction + rectified stereo match + 3-dim stereo
+    residuals; BASELINE config 5's visual half).  Metric-scale error is
+    reported directly (no Sim3 alignment — stereo pins scale)."""
+    try:
+        import cv2
+        import numpy as np
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from test_slam_stereo_rgbd import _render_stereo_pair, BF
+        from test_slam_e2e import W, H
+
+        from extractorb_tpu.config import (
+            CameraConfig, ORBConfig, SLAMConfig, TrackingConfig,
+        )
+        from extractorb_tpu.slam.system import System
+
+        luna = cv2.imread("/root/reference/pic/luna.jpg", 0)
+        tex = cv2.resize(luna, (1024, 1024))
+        n_frames = 30
+        frames_l, frames_r, poses = _render_stereo_pair(tex, n_frames)
+
+        def run():
+            cfg = SLAMConfig(
+                orb=ORBConfig(n_features=1000),
+                camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                                    width=W, height=H, bf=BF, th_depth=40.0),
+                tracking=TrackingConfig(max_frames=6, pipeline_depth=5),
+                sensor="stereo",
+            )
+            s = System(cfg)
+            t0 = time.perf_counter()
+            for k, (il, ir) in enumerate(zip(frames_l, frames_r)):
+                s.track_stereo(il, ir, k / 30.0)
+            s.flush()
+            return s, time.perf_counter() - t0
+
+        run()
+        s, dt = run()
+        traj = s.tracker.final_trajectory()
+        est = np.array([-(R.T @ t) for _, R, t in traj])
+        gt = np.array([
+            -(poses[int(round(ts * 30.0))][0].T
+              @ poses[int(round(ts * 30.0))][1])
+            for ts, _, _ in traj
+        ])
+        err = float(np.sqrt(((est - gt) ** 2).sum(-1).mean()))
+        return {
+            "slam_fps_stereo": round(n_frames / dt, 2),
+            "ate_stereo_metric_m": round(err, 4),
+        }
+    except Exception as e:  # pragma: no cover
+        return {"stereo_bench_error": str(e)[:200]}
 
 
 def _loop_bench():

@@ -101,18 +101,38 @@ class FusedOut(NamedTuple):
     lm_searched: jnp.ndarray      # (M,) bool local points actually searched
     used_ref: jnp.ndarray         # () bool: ref-KF fallback branch taken
     n_pre: jnp.ndarray            # () int32 inliers entering local search
+    # stereo channels (reference mvuRight/mvDepth) — mono programs fill
+    # ur/depth with -1 and the close counters with 0
+    ur: jnp.ndarray = None        # (N,) refined right-image u or -1
+    depth: jnp.ndarray = None     # (N,) metric depth or -1
+    n_close_tracked: jnp.ndarray = None    # () int32 close & associated
+    n_close_untracked: jnp.ndarray = None  # () int32 close & free
 
 
 class TrackStep:
-    """One compiled tracking step for a fixed static configuration."""
+    """One compiled tracking step for a fixed static configuration.
+
+    With ``stereo_bf > 0`` the program also extracts the right image,
+    runs the rectified stereo match in-program (frontend/stereo.py,
+    reference Frame::ComputeStereoMatches) and adds stereo residuals to
+    both pose optimisations (reference EdgeStereoOnlyPose); the close-
+    point keyframe-pressure counters (reference NeedNewKeyFrame's
+    bNeedToInsertClose) come back as scalars so the host never needs a
+    per-frame depth copy."""
 
     def __init__(self, cam_cfg, orb_cfg: ORBConfig, img_shape: Tuple[int, int],
-                 map_cap: int, local_cap: int):
+                 map_cap: int, local_cap: int,
+                 stereo_bf: float = 0.0, baseline: float = 0.0,
+                 th_depth: float = 0.0):
         self.cam_cfg = cam_cfg
         self.orb_cfg = orb_cfg
         self.img_shape = img_shape
         self.map_cap = map_cap
         self.local_cap = local_cap
+        self.stereo = stereo_bf > 0.0
+        self.bf = float(stereo_bf)
+        self.baseline = float(baseline)
+        self.th_depth = float(th_depth)
         self.extractor = ORBExtractor(orb_cfg, octree="device")
         self.capacity = orb_cfg.n_features + orb_cfg.n_levels * 16
         self.project = project_for_camera(cam_cfg)
@@ -145,6 +165,7 @@ class TrackStep:
         ref_desc, ref_valid, ref_kp_mp,  # reference-KF block (fallback)
         R_last, t_last,          # previous frame pose (device chainable)
         R_prev, t_prev,          # frame before that (for the velocity)
+        img_r=None,              # (H,W) uint8 right image (stereo only)
     ) -> FusedOut:
         N = self.capacity
         CAP = self.map_cap
@@ -165,6 +186,31 @@ class TrackStep:
             xy_un = undistort_points_pinhole(feats.xy, self.cam, self.dist)
         else:
             xy_un = feats.xy
+
+        # ---- ComputeStereoMatches IN-PROGRAM (reference Frame.cc:813):
+        # right-image extraction + banded Hamming search + SAD refine,
+        # producing mvuRight/mvDepth device arrays for the stereo
+        # residuals below
+        if self.stereo:
+            from ..frontend import stereo as fstereo
+            from ..frontend.pyramid import compute_pyramid
+
+            feats_r = self.extractor._extract(img_r, self.capacity)
+            cfgo = self.orb_cfg
+            pyr_l = tuple(compute_pyramid(img, cfgo.n_levels,
+                                          cfgo.scale_factor))
+            pyr_r = tuple(compute_pyramid(img_r, cfgo.n_levels,
+                                          cfgo.scale_factor))
+            sres = fstereo.compute_stereo_matches(
+                feats.xy, feats.octave, feats.desc, feats.valid,
+                feats_r.xy, feats_r.octave, feats_r.desc, feats_r.valid,
+                pyr_l, pyr_r, self.scale_factors, self.bf, self.baseline,
+            )
+            ur = jnp.where(sres.valid, sres.u_right, -1.0)
+            depth = jnp.where(sres.valid, sres.depth, -1.0)
+        else:
+            ur = jnp.full((N,), -1.0, jnp.float32)
+            depth = jnp.full((N,), -1.0, jnp.float32)
 
         # ---- TrackWithMotionModel: search previous-frame points
         # (reference ORBmatcher.cc:2028 region; matches vs the LAST
@@ -199,7 +245,8 @@ class TrackStep:
         pts0 = map_pos[jnp.clip(kp_mp0, 0, CAP - 1)]
         val0 = (kp_mp0 >= 0) & map_valid[jnp.clip(kp_mp0, 0, CAP - 1)]
         res1 = spo.optimize_pose(
-            R_pred, t_pred, pts0, xy_un, isig, val0, self.project
+            R_pred, t_pred, pts0, xy_un, isig, val0, self.project,
+            bf=self.bf, obs_ur=ur if self.stereo else None,
         )
         kp_mp1m = jnp.where(val0 & ~res1.inliers, -1, kp_mp0)
 
@@ -225,7 +272,8 @@ class TrackStep:
             kp_r = jnp.where(val_r, kp_r, -1)
             pts_r = map_pos[jnp.clip(kp_r, 0, CAP - 1)]
             res_r = spo.optimize_pose(
-                R_last, t_last, pts_r, xy_un, isig, kp_r >= 0, self.project
+                R_last, t_last, pts_r, xy_un, isig, kp_r >= 0, self.project,
+                bf=self.bf, obs_ur=ur if self.stereo else None,
             )
             kp_out = jnp.where((kp_r >= 0) & ~res_r.inliers, -1, kp_r)
             return res_r.R, res_r.t, kp_out, res_r.n_inliers
@@ -261,18 +309,27 @@ class TrackStep:
         pts2 = map_pos[jnp.clip(kp_mp2, 0, CAP - 1)]
         val2 = (kp_mp2 >= 0) & map_valid[jnp.clip(kp_mp2, 0, CAP - 1)]
         res2 = spo.optimize_pose(
-            R1_, t1_, pts2, xy_un, isig, val2, self.project
+            R1_, t1_, pts2, xy_un, isig, val2, self.project,
+            bf=self.bf, obs_ur=ur if self.stereo else None,
         )
         kp_mp3 = jnp.where(val2 & ~res2.inliers, -1, kp_mp2)
 
+        close = feats.valid & (depth > 0)
+        if self.th_depth > 0:
+            close = close & (depth < self.th_depth)
         return FusedOut(
             feats=feats, xy_un=xy_un, R=res2.R, t=res2.t, kp_mp=kp_mp3,
             n_match_motion=n_match, n_inl_motion=res1.n_inliers,
             n_inl_final=jnp.sum(val2 & res2.inliers), lm_searched=lm_searched,
             used_ref=~ok_motion, n_pre=n_pre,
+            ur=ur, depth=depth,
+            n_close_tracked=jnp.sum((close & (kp_mp3 >= 0)).astype(jnp.int32)),
+            n_close_untracked=jnp.sum((close & (kp_mp3 < 0)).astype(jnp.int32)),
         )
 
-    def __call__(self, *args) -> FusedOut:
+    def __call__(self, *args, img_r=None) -> FusedOut:
+        if img_r is not None:
+            return self._fn(*args, img_r=img_r)
         return self._fn(*args)
 
 
@@ -282,12 +339,15 @@ _STEP_CACHE = {}
 
 
 def get_track_step(cam_cfg, orb_cfg: ORBConfig, img_shape, map_cap: int,
-                   local_cap: int) -> TrackStep:
-    key = (cam_cfg, orb_cfg, tuple(img_shape), map_cap, local_cap)
+                   local_cap: int, stereo_bf: float = 0.0,
+                   baseline: float = 0.0, th_depth: float = 0.0) -> TrackStep:
+    key = (cam_cfg, orb_cfg, tuple(img_shape), map_cap, local_cap,
+           float(stereo_bf), float(baseline), float(th_depth))
     step = _STEP_CACHE.get(key)
     if step is None:
         step = TrackStep(cam_cfg, orb_cfg, tuple(img_shape), map_cap,
-                         local_cap)
+                         local_cap, stereo_bf=stereo_bf, baseline=baseline,
+                         th_depth=th_depth)
         _STEP_CACHE[key] = step
     return step
 

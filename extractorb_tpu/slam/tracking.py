@@ -73,24 +73,33 @@ class Frame:
     # on device between frames; host copies are fetched on demand.
     un_dev: Optional[object] = None         # (N,2) device undistorted xy
     kp_mp_dev: Optional[object] = None      # (N,) device association ids
+    ur_dev: Optional[object] = None         # (N,) device mvuRight (stereo)
+    depth_dev: Optional[object] = None      # (N,) device mvDepth (stereo)
     kp_mp_dirty: bool = False               # host kp_mp modified since fetch
     host_ready: bool = True
 
     def host_handles(self):
         """Device handles of the feature arrays, for batching this
-        frame's host-copy fetch with other transfers."""
+        frame's host-copy fetch with other transfers.  Stereo frames
+        append their ur/depth channels."""
         un = self.un_dev if self.un_dev is not None else self.feats.xy
-        return (un, self.feats.octave, self.feats.angle, self.feats.desc,
+        base = (un, self.feats.octave, self.feats.angle, self.feats.desc,
                 self.feats.valid)
+        if self.ur_dev is not None:
+            return base + (self.ur_dev, self.depth_dev)
+        return base
 
     def set_host(self, vals):
         """Install already-fetched host copies (host_handles order)."""
-        xy_un, octave, angle, desc, valid = vals
+        xy_un, octave, angle, desc, valid = vals[:5]
         self.xy_un = np.asarray(xy_un, np.float32)
         self.octave = np.asarray(octave)
         self.angle = np.asarray(angle)
         self.desc = np.asarray(desc)
         self.valid = np.asarray(valid)
+        if len(vals) > 5:
+            self.ur = np.asarray(vals[5], np.float32)
+            self.depth = np.asarray(vals[6], np.float32)
         self.host_ready = True
 
     def ensure_host(self):
@@ -100,12 +109,13 @@ class Frame:
             return
         fetch_kp = self.kp_mp is None and self.kp_mp_dev is not None
         handles = self.host_handles()
+        n_base = len(handles)
         if fetch_kp:
             handles = handles + (self.kp_mp_dev,)
         vals = pack_fetch(handles)
-        self.set_host(vals[:5])
+        self.set_host(vals[:n_base])
         if fetch_kp:
-            self.kp_mp = np.asarray(vals[5]).copy()
+            self.kp_mp = np.asarray(vals[n_base]).copy()
 
 
 @dataclasses.dataclass
@@ -241,6 +251,7 @@ class Tracker:
             lambda: setattr(self, "_pts_fresh_fid", self._next_frame_id)
         )
         self._fused_local_cap = 4096
+        self.n_fused_frames = 0   # diagnostics: frames on the fused path
 
         # inertial mode (reference: sensor IMU_MONOCULAR/IMU_STEREO)
         self.inertial = cfg.imu is not None and cfg.sensor.startswith("imu")
@@ -448,7 +459,8 @@ class Tracker:
         last = self.last_frame
         return (
             self.cfg.tracking.use_fused
-            and self.sensor == "monocular"
+            and (self.sensor == "monocular"
+                 or (self.sensor == "stereo" and self.cam_r is None))
             and not self.inertial
             and self.cfg.orb.octree == "device"  # fused step extracts on device
             and self.state == TrackState.OK
@@ -458,7 +470,7 @@ class Tracker:
             and last.un_dev is not None
         )
 
-    def _track_fused(self, img: np.ndarray, ts: float):
+    def _track_fused(self, img: np.ndarray, ts: float, img_r=None):
         """One-program frame step (slam/track_device.py): extract ->
         motion-model search -> pose opt -> local-map search -> pose opt.
         Returns the new state, or None to fall back to the legacy path
@@ -495,6 +507,9 @@ class Tracker:
         step = td.get_track_step(
             self.cfg.camera, self.cfg.orb, img.shape, self._mirror.cap,
             self._fused_local_cap,
+            stereo_bf=self.bf if img_r is not None else 0.0,
+            baseline=self.baseline if img_r is not None else 0.0,
+            th_depth=self.th_depth if img_r is not None else 0.0,
         )
         ref_desc, ref_valid, ref_kp = self._ref_block(mp)
         last = self.last_frame
@@ -545,17 +560,21 @@ class Tracker:
             blk.ids_dev, blk.pos, blk.desc, blk.norm, blk.maxd, blk.val,
             ref_desc, ref_valid, ref_kp,
             R_last_in, t_last_in, R_prev_in, t_prev_in,
+            img_r=None if img_r is None else jnp.asarray(img_r),
         )
         frame = Frame(
             frame_id=self._next_frame_id, timestamp=ts, feats=out.feats,
             xy_un=None, octave=None, angle=None, desc=None, valid=None,
             kp_mp=None, un_dev=out.xy_un,
             kp_mp_dev=out.kp_mp, host_ready=False,
+            ur_dev=None if img_r is None else out.ur,
+            depth_dev=None if img_r is None else out.depth,
         )
         self._next_frame_id += 1
         self._pipe.append(_PipeEntry(
             frame=frame, out=out, ts=ts, prev_frame=last, blk_ids=blk.ids,
         ))
+        self.n_fused_frames += 1
         # optimistic: in-flight frames report OK; the confirmation fetch
         # corrects state/trajectory (and replays through the legacy path
         # on a failed gate)
@@ -631,7 +650,8 @@ class Tracker:
         payload = [
             (e.out.R, e.out.t, e.out.n_match_motion, e.out.n_inl_motion,
              e.out.n_inl_final, e.out.used_ref, e.out.n_pre,
-             e.out.kp_mp, e.out.lm_searched)
+             e.out.kp_mp, e.out.lm_searched,
+             e.out.n_close_tracked, e.out.n_close_untracked)
             for e in pending
         ]
         n_gate = len(payload)
@@ -671,7 +691,7 @@ class Tracker:
         fetched = fetched[:n_gate]
         kf_created = False
         for i, (e, (R, t, n_match, n1, n2, used_ref, n_pre,
-                    kp_mp_h, lm_searched)) in enumerate(
+                    kp_mp_h, lm_searched, n_ct, n_cu)) in enumerate(
                 zip(pending, fetched)):
             frame = e.frame
             # motion-model gates (reference Tracking.cc:2475-2528) or
@@ -714,8 +734,11 @@ class Tracker:
             # cascades keyframes.  This is the reference's
             # SetAcceptKeyFrames(false) while LocalMapping is busy
             # (src/LocalMapping.cc:75,264).
+            close_counts = (int(n_ct), int(n_cu)) \
+                if e.frame.ur_dev is not None else None
             if not kf_created and \
-                    self._need_new_keyframe(frame, tracked=int(n2)):
+                    self._need_new_keyframe(frame, tracked=int(n2),
+                                            close_counts=close_counts):
                 kf_created = True
                 # feature host copies: prefetched when this is the
                 # speculated cadence keyframe, one extra fetch otherwise
@@ -741,9 +764,9 @@ class Tracker:
     @staticmethod
     def _kf_fetch_handles(e: "_PipeEntry"):
         """Device handles for a pipe entry's keyframe-promotion feature
-        host copies (Frame.set_host order)."""
-        return (e.out.xy_un, e.out.feats.octave, e.out.feats.angle,
-                e.out.feats.desc, e.out.feats.valid)
+        host copies (Frame.set_host order; stereo frames append their
+        ur/depth channels)."""
+        return e.frame.host_handles()
 
     def _replay(self, entries):
         """Re-run in-flight frames through the legacy state machine
@@ -766,6 +789,10 @@ class Tracker:
         self.grab_imu(imu)
         if self._check_timestamps(ts):
             return self.state
+        if self._fused_applicable():
+            st = self._track_fused(img_l, ts, img_r=img_r)
+            if st is not None:
+                return st
         frame = self._make_frame_stereo(img_l, img_r, ts)
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self._stereo_initialization(frame)
@@ -1666,7 +1693,9 @@ class Tracker:
     # ---------------------------------------------------------- keyframes
 
     def _need_new_keyframe(self, frame: Frame,
-                           tracked: Optional[int] = None) -> bool:
+                           tracked: Optional[int] = None,
+                           close_counts: Optional[Tuple[int, int]] = None,
+                           ) -> bool:
         """Reference NeedNewKeyFrame (Tracking.cc:2647), mono subset.
         ``tracked`` lets the fused path pass the device-counted inlier
         total so the frame's associations never need a host copy."""
@@ -1694,7 +1723,12 @@ class Tracker:
         # close points; thRefRatio drops to 0.75).
         need_close = False
         th_ref_ratio = 0.9
-        if frame.depth is not None and self.th_depth > 0:
+        if close_counts is not None:
+            # device-counted (fused stereo path): no per-frame depth copy
+            tracked_close, untracked_close = close_counts
+            need_close = tracked_close < 100 and untracked_close > 70
+            th_ref_ratio = 0.75
+        elif frame.depth is not None and self.th_depth > 0:
             close = frame.valid & (frame.depth > 0) & (
                 frame.depth < self.th_depth
             )

@@ -58,6 +58,38 @@ def render_rgbd(tex, n_frames=10):
     return frames, depths, poses
 
 
+def _render_stereo_pair(luna_tex, n_frames):
+    """Left/right rectified pair: right camera displaced by BASELINE
+    along camera x."""
+    frames_l, poses = render_sequence(luna_tex, n_frames)
+    s_far = 5.0 / luna_tex.shape[0]
+    A_far = np.array(
+        [[s_far, 0, -2.5], [0, s_far, -2.5], [0, 0, 5.0]], np.float64
+    )
+    tex_near = cv2.flip(luna_tex, 1)
+    s_near = 1.6 / luna_tex.shape[0]
+    A_near = np.array(
+        [[s_near, 0, -1.1], [0, s_near, -0.8], [0, 0, 3.0]], np.float64
+    )
+    ones = np.full_like(luna_tex, 255)
+    e3 = np.array([[0.0, 0.0, 1.0]])
+    frames_r = []
+    for k, (R, t) in enumerate(poses):
+        t_r = t - np.array([BASELINE, 0.0, 0.0])
+        M = K @ (R @ A_far + t_r[:, None] @ e3)
+        img = cv2.warpPerspective(
+            luna_tex, M, (W, H), flags=cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_REPLICATE,
+        )
+        M_near = K @ (R @ A_near + t_r[:, None] @ e3)
+        near = cv2.warpPerspective(tex_near, M_near, (W, H),
+                                   flags=cv2.INTER_LINEAR)
+        mask = cv2.warpPerspective(ones, M_near, (W, H),
+                                   flags=cv2.INTER_NEAREST)
+        frames_r.append(np.where(mask > 128, near, img))
+    return frames_l, frames_r, poses
+
+
 def _cfg():
     return SLAMConfig(
         orb=ORBConfig(n_features=1000),
@@ -155,3 +187,41 @@ def test_stereo_e2e_tracks(luna_tex):
     gt = np.array([-(R.T @ t) for R, t in poses])[: len(est)]
     err = np.linalg.norm(est - gt, axis=1)
     assert err.max() < 0.15, err
+
+
+@pytest.mark.slow
+def test_stereo_pipelined_fused_path(luna_tex):
+    """Stereo through the fused/pipelined one-program path (stereo
+    match + 3-dim stereo residuals in-program, close-point counters
+    riding the confirmation fetch): same metric-scale accuracy as the
+    synchronous path, and the fused path must actually engage."""
+    from test_slam_stereo_rgbd import _render_stereo_pair  # noqa: self
+
+    n_frames = 10
+    frames_l, frames_r, poses = _render_stereo_pair(luna_tex, n_frames)
+
+    cfg = _cfg()
+    cfg = SLAMConfig(
+        orb=cfg.orb, camera=cfg.camera,
+        tracking=TrackingConfig(max_frames=4, pipeline_depth=3),
+        sensor="stereo",
+    )
+    s = System(cfg)
+    states = []
+    for k, (il, ir) in enumerate(zip(frames_l, frames_r)):
+        states.append(s.track_stereo(il, ir, k / 30.0))
+    s.flush()
+    assert states[0] == TrackState.OK, states
+    assert s.tracker.n_fused_frames >= n_frames - 3, \
+        s.tracker.n_fused_frames
+    assert s.n_map_points() > 100
+
+    traj = s.tracker.final_trajectory()
+    est = np.array([-(R.T @ t) for _, R, t in traj])
+    gt = np.array([-(R.T @ t) for R, t in poses])[: len(est)]
+    err = np.linalg.norm(est - gt, axis=1)
+    assert err.max() < 0.15, err
+    # metric scale pinned by the in-program stereo depth
+    len_est = np.linalg.norm(np.diff(est, axis=0), axis=1).sum()
+    len_gt = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
+    assert abs(len_est / len_gt - 1.0) < 0.07, (len_est, len_gt)
