@@ -538,3 +538,296 @@ def relayout_for_schur(p: BAProblem, n_dev: int, block: int = 128) -> BAProblem:
         obs_valid=jnp.asarray(ovl), fixed_kf=p.fixed_kf,
         fixed_mp=jnp.asarray(fixed_mp),
     )
+
+
+# --------------------------------------------------------------------------
+# Sharded visual-inertial global BA (FullInertialBA over the mesh)
+# --------------------------------------------------------------------------
+
+from ..solver.inertial import (  # noqa: E402
+    GRAVITY, VIBAProblem, VIBAResult, _apply_delta, _edge_residual_jac,
+    _vis_residual_jac,
+)
+
+
+def relayout_point_sharded(obs_kf, obs_mp, obs_uv, obs_sig, obs_val,
+                           P: int, n_dev: int):
+    """Group observations by their point's shard and pad each group to a
+    common length (the layout optimize_vi_sharded / the Schur runner
+    expect).  P must be divisible by n_dev.  Returns the re-laid-out
+    (obs_kf, obs_mp, obs_uv, obs_sig, obs_val) numpy arrays."""
+    import numpy as np
+
+    Ps = P // n_dev
+    live = np.where(obs_val)[0]
+    shard_of = obs_mp[live] // Ps
+    order = np.argsort(shard_of, kind="stable")
+    live = live[order]
+    counts = np.bincount(shard_of[order], minlength=n_dev)
+    Os = int(np.ceil(max(int(counts.max()), 1) / 128) * 128)
+    O_pad = Os * n_dev
+    okf = np.zeros(O_pad, np.int32)
+    omp = np.zeros(O_pad, np.int32)
+    ouv = np.zeros((O_pad, 2), np.float32)
+    osig = np.ones(O_pad, np.float32)
+    oval = np.zeros(O_pad, bool)
+    start = 0
+    for s in range(n_dev):
+        n = int(counts[s])
+        dst = s * Os
+        sel = live[start:start + n]
+        okf[dst:dst + n] = obs_kf[sel]
+        omp[dst:dst + n] = obs_mp[sel]
+        ouv[dst:dst + n] = obs_uv[sel]
+        osig[dst:dst + n] = obs_sig[sel]
+        oval[dst:dst + n] = True
+        omp[dst + n:dst + Os] = s * Ps   # padding addresses this shard
+        start += n
+    return okf, omp, ouv, osig, oval
+
+
+def optimize_vi_sharded(
+    mesh: Mesh,
+    p: VIBAProblem,
+    project,
+    n_iters: int = 8,
+    cg_iters: int = 40,
+    use_huber: bool = True,
+    axis: str = "shard",
+) -> VIBAResult:
+    """Landmark/observation-sharded FullInertialBA (reference
+    Optimizer.cc:420, the post-loop inertial GBA): visual residuals are
+    sharded over the mesh like optimize_schur_sharded, while the 15-dim
+    body states and the O(K) inertial chain stay REPLICATED — the chain
+    contributes identical terms on every device and is added after the
+    psum, so per-CG-iteration traffic is the (K,15) state block only.
+    Points must be evenly divisible over the mesh and observations
+    grouped by their point's shard (relayout_point_sharded)."""
+    n_dev = mesh.shape[axis]
+    P = p.points.shape[0]
+    O = p.obs_kf.shape[0]
+    assert P % n_dev == 0 and O % n_dev == 0, (P, O, n_dev)
+
+    run = _make_vi_run(mesh, project, n_iters, cg_iters, use_huber, axis)
+
+    from jax.sharding import PartitionSpec as PS
+    eshard = NamedSharding(mesh, PS(axis))
+    rep = NamedSharding(mesh, PS())
+    put_e = lambda a: jax.device_put(a, eshard)
+    put_r = lambda a: jax.device_put(a, rep)
+
+    chain = jax.tree_util.tree_map(put_r, p.chain)
+    out = run(
+        put_r(p.Rwb), put_r(p.twb), put_r(p.v), put_r(p.bg), put_r(p.ba),
+        put_e(p.points),
+        put_e(p.obs_kf), put_e(p.obs_mp), put_e(p.obs_uv),
+        put_e(p.inv_sigma2), put_e(p.obs_valid),
+        chain,
+        put_r(p.fixed_kf), put_e(p.fixed_mp),
+        put_r(p.Rcb), put_r(p.tcb),
+        jnp.float32(p.prior_g), jnp.float32(p.prior_a),
+    )
+    Rwb, twb, v, bg, ba, points, inliers, cost = out
+    return VIBAResult(Rwb=Rwb, twb=twb, v=v, bg=bg, ba=ba,
+                      points=points, inliers=inliers, cost=cost)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_vi_run(mesh, project, n_iters, cg_iters, use_huber, axis):
+    """Build + jit the sharded VI-BA program once per (mesh, config)."""
+    from jax.sharding import PartitionSpec as PS
+    from ..solver.robust import CHI2_MONO, DELTA_MONO, huber_weight
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            PS(), PS(), PS(), PS(), PS(),       # Rwb twb v bg ba
+            PS(axis),                           # points
+            PS(axis), PS(axis), PS(axis), PS(axis), PS(axis),  # obs
+            PS(),                               # chain (replicated pytree)
+            PS(), PS(axis),                     # fixed_kf, fixed_mp
+            PS(), PS(),                         # Rcb tcb
+            PS(), PS(),                         # priors
+        ),
+        out_specs=(PS(), PS(), PS(), PS(), PS(), PS(axis), PS(axis), PS()),
+        check_vma=False,
+    )
+    def run(Rwb0, twb0, v0, bg0, ba0, points0,
+            obs_kf, obs_mp, obs_uv, inv_sigma2, obs_valid,
+            chain, fixed_kf, fixed_mp, Rcb, tcb, prior_g, prior_a):
+        K = Rwb0.shape[0]
+        Ps_ = points0.shape[0]
+        dtype = points0.dtype
+        gvec = jnp.asarray([0.0, 0.0, -GRAVITY], dtype)
+        free_kf = (~fixed_kf).astype(dtype)[:, None]
+        free_mp = (~fixed_mp).astype(dtype)[:, None]
+        shard_id = jax.lax.axis_index(axis)
+        obs_mp_l = obs_mp - shard_id * Ps_
+
+        prior_diag = jnp.zeros((K, 15), dtype)
+        prior_diag = prior_diag.at[0, 9:12].set(prior_g)
+        prior_diag = prior_diag.at[0, 12:15].set(prior_a)
+
+        def local_prob(Rwb, twb, v, bg, ba, points):
+            return VIBAProblem(
+                Rwb=Rwb, twb=twb, v=v, bg=bg, ba=ba, points=points,
+                obs_kf=obs_kf, obs_mp=obs_mp_l, obs_uv=obs_uv,
+                inv_sigma2=inv_sigma2, obs_valid=obs_valid, chain=chain,
+                fixed_kf=fixed_kf, fixed_mp=fixed_mp, Rcb=Rcb, tcb=tcb,
+            )
+
+        def lm_step(state, _):
+            Rwb, twb, v, bg, ba, points, lam, _c = state
+            lp = local_prob(Rwb, twb, v, bg, ba, points)
+            r, Jp6, Jl = _vis_residual_jac(Rwb, twb, points, lp, project)
+            chi2 = jnp.sum(r * r, -1) * inv_sigma2
+            w = huber_weight(chi2, DELTA_MONO) if use_huber \
+                else jnp.ones_like(chi2)
+            w = w * inv_sigma2 * obs_valid.astype(dtype)
+            (re, Ji, Jj), idx_i, idx_j = _edge_residual_jac(
+                Rwb, twb, v, bg, ba, lp, gvec
+            )
+            Jpw6 = Jp6 * w[:, None, None]
+            Jlw = Jl * w[:, None, None]
+
+            # gradient: visual part psum'd; chain/prior added once after
+            g_vis = jax.lax.psum(
+                jnp.zeros((K, 6), dtype).at[obs_kf].add(
+                    jnp.einsum("oif,oi->of", Jpw6, r)
+                ), axis,
+            )
+            g_state = jnp.zeros((K, 15), dtype).at[:, :6].add(g_vis)
+            g_state = g_state.at[idx_i].add(
+                jnp.einsum("eif,ei->ef", Ji, re))
+            g_state = g_state.at[idx_j].add(
+                jnp.einsum("eif,ei->ef", Jj, re))
+            g_state = g_state * free_kf
+            g_point = jnp.zeros((Ps_, 3), dtype).at[obs_mp_l].add(
+                jnp.einsum("oif,oi->of", Jlw, r)
+            ) * free_mp
+
+            Hpp6 = jax.lax.psum(
+                jnp.zeros((K, 6, 6), dtype).at[obs_kf].add(
+                    jnp.einsum("oif,oig->ofg", Jpw6, Jp6)
+                ), axis,
+            )
+            Hpp = jnp.zeros((K, 15, 15), dtype).at[:, :6, :6].add(Hpp6)
+            Hpp = Hpp.at[idx_i].add(jnp.einsum("eif,eig->efg", Ji, Ji))
+            Hpp = Hpp.at[idx_j].add(jnp.einsum("eif,eig->efg", Jj, Jj))
+            Hpp = Hpp + jnp.vectorize(
+                jnp.diag, signature="(n)->(n,n)")(prior_diag)
+            Hll = jnp.zeros((Ps_, 3, 3), dtype).at[obs_mp_l].add(
+                jnp.einsum("oif,oig->ofg", Jlw, Jl)
+            )
+            lamI15 = lam * jnp.eye(15, dtype=dtype)
+            lamI3 = lam * jnp.eye(3, dtype=dtype)
+            Mp = jnp.linalg.inv(Hpp + lamI15[None])
+            Ml = jnp.linalg.inv(Hll + lamI3[None])
+
+            def hv(vp, vl):
+                vp = vp * free_kf
+                vl = vl * free_mp
+                u = jnp.einsum("oif,of->oi", Jp6, vp[obs_kf, :6]) + \
+                    jnp.einsum("oif,of->oi", Jl, vl[obs_mp_l])
+                uw = u * w[:, None]
+                hp_vis = jax.lax.psum(
+                    jnp.zeros((K, 6), dtype).at[obs_kf].add(
+                        jnp.einsum("oif,oi->of", Jp6, uw)
+                    ), axis,
+                )
+                hp = jnp.zeros((K, 15), dtype).at[:, :6].add(hp_vis)
+                ue = jnp.einsum("eif,ef->ei", Ji, vp[idx_i]) + \
+                    jnp.einsum("eif,ef->ei", Jj, vp[idx_j])
+                hp = hp.at[idx_i].add(jnp.einsum("eif,ei->ef", Ji, ue))
+                hp = hp.at[idx_j].add(jnp.einsum("eif,ei->ef", Jj, ue))
+                hp = (hp + prior_diag * vp) * free_kf
+                hl = jnp.zeros((Ps_, 3), dtype).at[obs_mp_l].add(
+                    jnp.einsum("oif,oi->of", Jl, uw)
+                ) * free_mp
+                return hp + lam * vp, hl + lam * vl
+
+            def precond(vp, vl):
+                return (
+                    jnp.einsum("kfg,kg->kf", Mp, vp) * free_kf,
+                    jnp.einsum("pfg,pg->pf", Ml, vl) * free_mp,
+                )
+
+            def dot(a, b):
+                # state part replicated (no psum); landmark part sharded
+                return jnp.sum(a[0] * b[0]) + jax.lax.psum(
+                    jnp.sum(a[1] * b[1]), axis)
+
+            bp, bl = g_state, g_point
+            x = (jnp.zeros_like(bp), jnp.zeros_like(bl))
+            rr = (bp, bl)
+            z = precond(*rr)
+            pdir = z
+            rz = dot(rr, z)
+
+            def cg_body(carry, _):
+                x, rr, pdir, rz = carry
+                Ap = hv(*pdir)
+                alpha = rz / jnp.maximum(dot(pdir, Ap), 1e-20)
+                x = (x[0] + alpha * pdir[0], x[1] + alpha * pdir[1])
+                rr = (rr[0] - alpha * Ap[0], rr[1] - alpha * Ap[1])
+                z = precond(*rr)
+                rz2 = dot(rr, z)
+                beta = rz2 / jnp.maximum(rz, 1e-20)
+                pdir = (z[0] + beta * pdir[0], z[1] + beta * pdir[1])
+                return (x, rr, pdir, rz2), None
+
+            (x, _, _, _), _ = jax.lax.scan(
+                cg_body, (x, rr, pdir, rz), None, length=cg_iters
+            )
+            dp = -x[0] * free_kf
+            dl = -x[1] * free_mp
+
+            Rn, tn, vn, bgn, ban = jax.vmap(_apply_delta)(
+                Rwb, twb, v, bg, ba, dp
+            )
+            pn = points + dl
+
+            def total_cost(Rc, tc, vc, bgc, bac, pc):
+                lp2 = local_prob(Rc, tc, vc, bgc, bac, pc)
+                rr2, _, _ = _vis_residual_jac(Rc, tc, pc, lp2, project)
+                c2 = jnp.sum(rr2 * rr2, -1) * inv_sigma2
+                if use_huber:
+                    d2 = DELTA_MONO * DELTA_MONO
+                    rho = jnp.where(
+                        c2 <= d2, c2, 2.0 * DELTA_MONO * jnp.sqrt(c2) - d2
+                    )
+                else:
+                    rho = c2
+                cvis = jax.lax.psum(
+                    jnp.sum(jnp.where(obs_valid, rho, 0.0)), axis)
+                (re2, _, _), _, _ = _edge_residual_jac(
+                    Rc, tc, vc, bgc, bac, lp2, gvec)
+                return cvis + jnp.sum(re2 * re2)
+
+            c_new = total_cost(Rn, tn, vn, bgn, ban, pn)
+            c_old = total_cost(Rwb, twb, v, bg, ba, points)
+            better = c_new < c_old
+            pick = lambda a, b: jnp.where(better, a, b)
+            return (
+                pick(Rn, Rwb), pick(tn, twb), pick(vn, v),
+                pick(bgn, bg), pick(ban, ba), pick(pn, points),
+                jnp.where(better, lam * 0.5, lam * 4.0),
+                jnp.minimum(c_new, c_old),
+            ), None
+
+        lam0 = jnp.asarray(1e-4, dtype)
+        state = (Rwb0, twb0, v0, bg0, ba0, points0, lam0,
+                 jnp.asarray(jnp.inf, dtype))
+        state, _ = jax.lax.scan(lm_step, state, None, length=n_iters)
+        Rwb, twb, v, bg, ba, points, _, cost = state
+        Rwb = lie.orthonormalize(Rwb)
+
+        lp = local_prob(Rwb, twb, v, bg, ba, points)
+        r, _, _ = _vis_residual_jac(Rwb, twb, points, lp, project)
+        chi2 = jnp.sum(r * r, -1) * inv_sigma2
+        inliers = obs_valid & (chi2 <= CHI2_MONO)
+        return Rwb, twb, v, bg, ba, points, inliers, cost
+
+    return run

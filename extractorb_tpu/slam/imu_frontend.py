@@ -356,10 +356,15 @@ def initialize_imu(
 def full_inertial_ba(mp, calib: ImuCalib, project,
                      prior_g: float = 1.0,
                      prior_a: float = 1e5, n_iters: int = 8,
-                     cg_iters: int = 40):
+                     cg_iters: int = 40, mesh=None):
     """FullInertialBA analog (reference src/Optimizer.cc:420): joint
     visual-inertial BA over the whole temporal chain, first pose+bias
-    anchored by priors."""
+    anchored by priors.
+
+    With a multi-device ``mesh`` the visual residuals/landmarks shard
+    over the devices (dist/sharded_ba.optimize_vi_sharded) while the
+    O(K) inertial chain stays replicated — the post-loop inertial GBA
+    gets the same no-size-gate treatment as the visual one."""
     kids, Rwb, twb, preints, valids = _temporal_chain(mp, calib)
     K = len(kids)
     if K < 3:
@@ -425,8 +430,47 @@ def full_inertial_ba(mp, calib: ImuCalib, project,
         Rcb=jnp.asarray(calib.Rcb), tcb=jnp.asarray(calib.tcb),
         prior_g=prior_g, prior_a=prior_a,
     )
-    res = sin.optimize_vi_ba(prob, project, n_iters=n_iters,
-                             cg_iters=cg_iters)
+    import numpy as _np
+
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(_np.prod(list(mesh.shape.values())))
+    if n_dev > 1:
+        from ..dist import sharded_ba as dba
+
+        # points already bucket-padded; pad up to mesh divisibility and
+        # regroup the observations by their point's shard
+        P_pad = -(-P // n_dev) * n_dev
+        if P_pad != P:
+            pts2 = _np.zeros((P_pad, 3), _np.float32)
+            pts2[:, 2] = 1.0
+            pts2[:P] = _np.asarray(prob.points)
+            fmp2 = _np.ones(P_pad, bool)
+            fmp2[:P] = _np.asarray(prob.fixed_mp)
+        else:
+            pts2 = _np.asarray(prob.points)
+            fmp2 = _np.asarray(prob.fixed_mp)
+        okf, omp, ouv, osig, oval = dba.relayout_point_sharded(
+            _np.asarray(prob.obs_kf), _np.asarray(prob.obs_mp),
+            _np.asarray(prob.obs_uv), _np.asarray(prob.inv_sigma2),
+            _np.asarray(prob.obs_valid), P_pad, n_dev,
+        )
+        prob = sin.VIBAProblem(
+            Rwb=prob.Rwb, twb=prob.twb, v=prob.v, bg=prob.bg, ba=prob.ba,
+            points=jnp.asarray(pts2),
+            obs_kf=jnp.asarray(okf), obs_mp=jnp.asarray(omp),
+            obs_uv=jnp.asarray(ouv), inv_sigma2=jnp.asarray(osig),
+            obs_valid=jnp.asarray(oval), chain=prob.chain,
+            fixed_kf=prob.fixed_kf, fixed_mp=jnp.asarray(fmp2),
+            Rcb=prob.Rcb, tcb=prob.tcb,
+            prior_g=prob.prior_g, prior_a=prob.prior_a,
+        )
+        res = dba.optimize_vi_sharded(
+            mesh, prob, project, n_iters=n_iters, cg_iters=cg_iters,
+        )
+    else:
+        res = sin.optimize_vi_ba(prob, project, n_iters=n_iters,
+                                 cg_iters=cg_iters)
     Rwb_n = np.asarray(res.Rwb)
     twb_n = np.asarray(res.twb)
     v_n = np.asarray(res.v)
@@ -560,8 +604,47 @@ def local_inertial_ba(mp, calib: ImuCalib, project, kf_id: int,
         Rcb=jnp.asarray(calib.Rcb), tcb=jnp.asarray(calib.tcb),
         prior_g=0.0, prior_a=0.0,
     )
-    res = sin.optimize_vi_ba(prob, project, n_iters=n_iters,
-                             cg_iters=cg_iters)
+    import numpy as _np
+
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(_np.prod(list(mesh.shape.values())))
+    if n_dev > 1:
+        from ..dist import sharded_ba as dba
+
+        # points already bucket-padded; pad up to mesh divisibility and
+        # regroup the observations by their point's shard
+        P_pad = -(-P // n_dev) * n_dev
+        if P_pad != P:
+            pts2 = _np.zeros((P_pad, 3), _np.float32)
+            pts2[:, 2] = 1.0
+            pts2[:P] = _np.asarray(prob.points)
+            fmp2 = _np.ones(P_pad, bool)
+            fmp2[:P] = _np.asarray(prob.fixed_mp)
+        else:
+            pts2 = _np.asarray(prob.points)
+            fmp2 = _np.asarray(prob.fixed_mp)
+        okf, omp, ouv, osig, oval = dba.relayout_point_sharded(
+            _np.asarray(prob.obs_kf), _np.asarray(prob.obs_mp),
+            _np.asarray(prob.obs_uv), _np.asarray(prob.inv_sigma2),
+            _np.asarray(prob.obs_valid), P_pad, n_dev,
+        )
+        prob = sin.VIBAProblem(
+            Rwb=prob.Rwb, twb=prob.twb, v=prob.v, bg=prob.bg, ba=prob.ba,
+            points=jnp.asarray(pts2),
+            obs_kf=jnp.asarray(okf), obs_mp=jnp.asarray(omp),
+            obs_uv=jnp.asarray(ouv), inv_sigma2=jnp.asarray(osig),
+            obs_valid=jnp.asarray(oval), chain=prob.chain,
+            fixed_kf=prob.fixed_kf, fixed_mp=jnp.asarray(fmp2),
+            Rcb=prob.Rcb, tcb=prob.tcb,
+            prior_g=prob.prior_g, prior_a=prob.prior_a,
+        )
+        res = dba.optimize_vi_sharded(
+            mesh, prob, project, n_iters=n_iters, cg_iters=cg_iters,
+        )
+    else:
+        res = sin.optimize_vi_ba(prob, project, n_iters=n_iters,
+                                 cg_iters=cg_iters)
     Rwb_n = np.asarray(res.Rwb)
     twb_n = np.asarray(res.twb)
     v_n = np.asarray(res.v)

@@ -795,9 +795,15 @@ class LoopCloser:
     def _run_gba(self, mp: SLAMMap):
         if self.imu_calib is not None and mp.imu_initialized:
             from . import imu_frontend
+            from ..dist import mesh as dmesh
 
+            # inertial post-loop GBA shards its visual residuals over
+            # the mesh too (dist/sharded_ba.optimize_vi_sharded); the
+            # O(K) chain is replicated (reference FullInertialBA,
+            # Optimizer.cc:420)
             imu_frontend.full_inertial_ba(
                 mp, self.imu_calib, self.project, n_iters=7,
+                mesh=dmesh.make_mesh(),
             )
             return
         from ..dist import global_ba

@@ -123,13 +123,17 @@ class TrackStep:
     def __init__(self, cam_cfg, orb_cfg: ORBConfig, img_shape: Tuple[int, int],
                  map_cap: int, local_cap: int,
                  stereo_bf: float = 0.0, baseline: float = 0.0,
-                 th_depth: float = 0.0):
+                 th_depth: float = 0.0, depth_mode: str = "stereo"):
         self.cam_cfg = cam_cfg
         self.orb_cfg = orb_cfg
         self.img_shape = img_shape
         self.map_cap = map_cap
         self.local_cap = local_cap
-        self.stereo = stereo_bf > 0.0
+        # depth source: "none" (mono), "stereo" (right image in-program
+        # match), "rgbd" (depth map sampled at the raw keypoint coords,
+        # reference ComputeStereoFromRGBD, Frame.cc:994)
+        self.depth_mode = depth_mode if stereo_bf > 0.0 else "none"
+        self.stereo = self.depth_mode != "none"
         self.bf = float(stereo_bf)
         self.baseline = float(baseline)
         self.th_depth = float(th_depth)
@@ -191,7 +195,7 @@ class TrackStep:
         # right-image extraction + banded Hamming search + SAD refine,
         # producing mvuRight/mvDepth device arrays for the stereo
         # residuals below
-        if self.stereo:
+        if self.depth_mode == "stereo":
             from ..frontend import stereo as fstereo
             from ..frontend.pyramid import compute_pyramid
 
@@ -208,6 +212,20 @@ class TrackStep:
             )
             ur = jnp.where(sres.valid, sres.u_right, -1.0)
             depth = jnp.where(sres.valid, sres.depth, -1.0)
+        elif self.depth_mode == "rgbd":
+            # img_r is the (H,W) float32 depth map: sample at the RAW
+            # keypoint coords, virtual right coord uR = u_un - bf/d
+            H_, W_ = self.img_shape
+            vv = jnp.clip(jnp.round(feats.xy[:, 1]), 0, H_ - 1).astype(
+                jnp.int32)
+            uu = jnp.clip(jnp.round(feats.xy[:, 0]), 0, W_ - 1).astype(
+                jnp.int32)
+            d = img_r[vv, uu]
+            ok = feats.valid & (d > 0)
+            depth = jnp.where(ok, d, -1.0)
+            ur = jnp.where(
+                ok, xy_un[:, 0] - self.bf / jnp.maximum(d, 1e-9), -1.0
+            )
         else:
             ur = jnp.full((N,), -1.0, jnp.float32)
             depth = jnp.full((N,), -1.0, jnp.float32)
@@ -340,14 +358,15 @@ _STEP_CACHE = {}
 
 def get_track_step(cam_cfg, orb_cfg: ORBConfig, img_shape, map_cap: int,
                    local_cap: int, stereo_bf: float = 0.0,
-                   baseline: float = 0.0, th_depth: float = 0.0) -> TrackStep:
+                   baseline: float = 0.0, th_depth: float = 0.0,
+                   depth_mode: str = "stereo") -> TrackStep:
     key = (cam_cfg, orb_cfg, tuple(img_shape), map_cap, local_cap,
-           float(stereo_bf), float(baseline), float(th_depth))
+           float(stereo_bf), float(baseline), float(th_depth), depth_mode)
     step = _STEP_CACHE.get(key)
     if step is None:
         step = TrackStep(cam_cfg, orb_cfg, tuple(img_shape), map_cap,
                          local_cap, stereo_bf=stereo_bf, baseline=baseline,
-                         th_depth=th_depth)
+                         th_depth=th_depth, depth_mode=depth_mode)
         _STEP_CACHE[key] = step
     return step
 

@@ -252,6 +252,9 @@ class Tracker:
         )
         self._fused_local_cap = 4096
         self.n_fused_frames = 0   # diagnostics: frames on the fused path
+        # (frame_id, (mid, version), (H15, state)) ConstraintPoseImu of
+        # the last inertially-optimised frame (reference mpcpi)
+        self._marg_prior = None
 
         # inertial mode (reference: sensor IMU_MONOCULAR/IMU_STEREO)
         self.inertial = cfg.imu is not None and cfg.sensor.startswith("imu")
@@ -460,7 +463,8 @@ class Tracker:
         return (
             self.cfg.tracking.use_fused
             and (self.sensor == "monocular"
-                 or (self.sensor == "stereo" and self.cam_r is None))
+                 or (self.sensor == "stereo" and self.cam_r is None)
+                 or self.sensor == "rgbd")
             and not self.inertial
             and self.cfg.orb.octree == "device"  # fused step extracts on device
             and self.state == TrackState.OK
@@ -470,7 +474,8 @@ class Tracker:
             and last.un_dev is not None
         )
 
-    def _track_fused(self, img: np.ndarray, ts: float, img_r=None):
+    def _track_fused(self, img: np.ndarray, ts: float, img_r=None,
+                     depth_mode: str = "stereo"):
         """One-program frame step (slam/track_device.py): extract ->
         motion-model search -> pose opt -> local-map search -> pose opt.
         Returns the new state, or None to fall back to the legacy path
@@ -510,6 +515,7 @@ class Tracker:
             stereo_bf=self.bf if img_r is not None else 0.0,
             baseline=self.baseline if img_r is not None else 0.0,
             th_depth=self.th_depth if img_r is not None else 0.0,
+            depth_mode=depth_mode,
         )
         ref_desc, ref_valid, ref_kp = self._ref_block(mp)
         last = self.last_frame
@@ -804,6 +810,13 @@ class Tracker:
         """GrabImageRGBD + Track (reference System.cc:288)."""
         if self._check_timestamps(ts):
             return self.state
+        if self._fused_applicable():
+            st = self._track_fused(
+                img, ts, img_r=np.asarray(depthmap, np.float32),
+                depth_mode="rgbd",
+            )
+            if st is not None:
+                return st
         frame = self._make_frame_rgbd(img, depthmap, ts)
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self._stereo_initialization(frame)
@@ -1626,17 +1639,49 @@ class Tracker:
         )
         Rwb0, twb0 = calib.body_from_cam(frame.R, frame.t)
         v0 = frame.v if frame.v is not None else last.v
-        res = sin.optimize_pose_inertial(
-            jnp.asarray(Rwb0), jnp.asarray(twb0), jnp.asarray(v0),
-            jnp.asarray(bg1), jnp.asarray(ba1),
-            prev_state, frame.preint_frame,
-            jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(isig),
-            jnp.asarray(val),
-            jnp.asarray(calib.Rcb), jnp.asarray(calib.tcb),
-            self.project,
+        # LastFrame vs LastKeyFrame variant (reference Tracking.cc:2554-
+        # 2574 chooses by mbMapUpdated): with a fresh marginalization
+        # prior on the previous frame and an unchanged map, jointly
+        # optimise both frame states with the previous one anchored by
+        # its ConstraintPoseImu and produce the next prior by
+        # marginalizing it out (solver/marginal.py); after a map update
+        # (keyframe/loop/gravity) the previous state is fixed instead
+        # and the prior chain restarts from this solve's information.
+        mp_ver = (mp.mid, mp.version)
+        prior = None
+        if (self._marg_prior is not None
+                and self._marg_prior[0] == last.frame_id
+                and self._marg_prior[1] == mp_ver):
+            prior = self._marg_prior[2]
+        if prior is not None:
+            res = sin.optimize_pose_inertial_last_frame(
+                jnp.asarray(Rwb0), jnp.asarray(twb0), jnp.asarray(v0),
+                jnp.asarray(bg1), jnp.asarray(ba1),
+                prev_state, frame.preint_frame,
+                jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(isig),
+                jnp.asarray(val),
+                jnp.asarray(calib.Rcb), jnp.asarray(calib.tcb),
+                self.project, prior=prior,
+            )
+        else:
+            res = sin.optimize_pose_inertial(
+                jnp.asarray(Rwb0), jnp.asarray(twb0), jnp.asarray(v0),
+                jnp.asarray(bg1), jnp.asarray(ba1),
+                prev_state, frame.preint_frame,
+                jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(isig),
+                jnp.asarray(val),
+                jnp.asarray(calib.Rcb), jnp.asarray(calib.tcb),
+                self.project,
+            )
+        Rwb, twb, v_n, bg_n, ba_n, inl, H_marg = jax.device_get(
+            (res.Rwb, res.twb, res.v, res.bg, res.ba, res.inliers, res.H)
         )
-        Rwb, twb, v_n, bg_n, ba_n, inl = jax.device_get(
-            (res.Rwb, res.twb, res.v, res.bg, res.ba, res.inliers)
+        # this frame's ConstraintPoseImu for the next call
+        self._marg_prior = (
+            frame.frame_id, mp_ver,
+            (jnp.asarray(H_marg),
+             (jnp.asarray(Rwb), jnp.asarray(twb), jnp.asarray(v_n),
+              jnp.asarray(bg_n), jnp.asarray(ba_n))),
         )
         frame.R, frame.t = calib.cam_from_body(
             np.asarray(Rwb), np.asarray(twb)

@@ -666,3 +666,171 @@ def optimize_pose_inertial(
         Rwb=Rc, twb=tc, v=vc, bg=bgc, ba=bac,
         inliers=active, n_inliers=jnp.sum(active), H=H,
     )
+
+
+class PoseInertialLastFrameResult(NamedTuple):
+    Rwb: jnp.ndarray      # current body rotation
+    twb: jnp.ndarray
+    v: jnp.ndarray
+    bg: jnp.ndarray
+    ba: jnp.ndarray
+    inliers: jnp.ndarray
+    n_inliers: jnp.ndarray
+    H: jnp.ndarray        # (15,15) ConstraintPoseImu info for the NEXT frame
+
+
+@functools.partial(jax.jit, static_argnums=(13, 14, 15))
+def optimize_pose_inertial_last_frame(
+    Rwb0, twb0, v0, bg0, ba0,
+    prev_state,            # (Rwb, twb, v, bg, ba) previous FRAME (free)
+    preint: pre.Preintegrated,
+    pts_w, obs_uv, inv_sigma2, valid,
+    Rcb, tcb,
+    project,
+    n_rounds: int = 4,
+    n_iters: int = 10,
+    prior=None,            # (H15, prev_prior_state) ConstraintPoseImu on prev
+):
+    """PoseInertialOptimizationLastFrame (reference src/Optimizer.cc:7722):
+    JOINT GN over the previous frame's and the current frame's 15-dim
+    body states — the previous frame is FREE, anchored only by its
+    marginalization prior (EdgePriorPoseImu / ConstraintPoseImu) — with
+    visual unary edges on the current frame, one inertial edge between
+    the two states, and chi2 reclassification across 4 rounds.  After
+    convergence the previous state is marginalized out of the joint
+    30x30 Hessian (solver/marginal.py, reference Marginalize(H,0,14) at
+    Optimizer.cc:7722 tail) to produce the current frame's
+    ConstraintPoseImu for the next call.
+    """
+    from . import marginal as mg
+
+    dtype = twb0.dtype
+    g = jnp.asarray([0.0, 0.0, -GRAVITY], dtype)
+    Rp0, tp0, vp0, bgp0, bap0 = prev_state
+    Lr = _info_sqrt(preint.C[:9, :9])
+    Lb = _info_sqrt(preint.C[9:, 9:])
+    if prior is not None:
+        Hp, prior_state = prior
+        Lp = _info_sqrt(Hp)
+    else:
+        # no marginal info yet: anchor the previous state softly
+        Hp = jnp.eye(15, dtype=dtype) * 1e4
+        prior_state = prev_state
+        Lp = _info_sqrt(Hp)
+    Rpr, tpr, vpr, bgpr, bapr = prior_state
+
+    def split(d30):
+        return d30[:15], d30[15:]
+
+    def states_of(st, d30):
+        (Rp, tp, vp, bgp, bap, Rc, tc, vc, bgc, bac) = st
+        dp, dc = split(d30)
+        prev = _apply_delta(Rp, tp, vp, bgp, bap, dp)
+        cur = _apply_delta(Rc, tc, vc, bgc, bac, dc)
+        return prev, cur
+
+    def run_round(carry, use_huber):
+        st = carry[:10]
+        active = carry[10]
+
+        def one_iter(st, _):
+            Rc, tc = st[5], st[6]
+            pb_safe = Rcb.T @ (jnp.array([0.0, 0.0, 1.0], dtype) - tcb)
+            pts_safe = jnp.where(valid[:, None], pts_w, Rc @ pb_safe + tc)
+
+            def resid_all(d30):
+                (Rp, tp, vp, bgp, bap), (R, t, vv, bgn, ban) = \
+                    states_of(st, d30)
+
+                def per_kp(pw, uv):
+                    pb = R.T @ (pw - t)
+                    pc = Rcb @ pb + tcb
+                    return uv - project(pc)
+
+                rv = jax.vmap(per_kp)(pts_safe, obs_uv)
+                ri = _edge_resid15(
+                    preint, Lr, Lb, g,
+                    Rp, tp, vp, bgp, bap, R, t, vv, bgn, ban,
+                )
+                # prior residual on the PREVIOUS state (EdgePriorPoseImu)
+                er = lie.so3_log(Rpr.T @ Rp)
+                et = Rpr.T @ (tp - tpr)
+                rp = Lp.T @ jnp.concatenate([
+                    er, et, vp - vpr, bgp - bgpr, bap - bapr
+                ])
+                return rv, ri, rp
+
+            z30 = jnp.zeros(30, dtype)
+            rv, ri, rp = resid_all(z30)
+            Jv, Ji, Jp = jax.jacfwd(resid_all)(z30)
+            chi2 = jnp.sum(rv * rv, -1) * inv_sigma2
+            w = jnp.where(use_huber, huber_weight(chi2, DELTA_MONO), 1.0)
+            w = w * inv_sigma2 * active.astype(dtype)
+            Jvw = Jv * w[:, None, None]
+            H = (jnp.einsum("nio,nij->oj", Jvw, Jv)
+                 + Ji.T @ Ji + Jp.T @ Jp)
+            b = (jnp.einsum("nio,ni->o", Jvw, rv)
+                 + Ji.T @ ri + Jp.T @ rp)
+            d = -jnp.linalg.solve(H + 1e-8 * jnp.eye(30, dtype=dtype), b)
+            prev, cur = states_of(st, d)
+            return prev + cur, None
+
+        st, _ = jax.lax.scan(one_iter, st, None, length=n_iters)
+
+        Rc, tc = st[5], st[6]
+
+        def per_kp(pw, uv):
+            pb = Rc.T @ (pw - tc)
+            pc = Rcb @ pb + tcb
+            return uv - project(pc)
+
+        rv = jax.vmap(per_kp)(pts_w, obs_uv)
+        chi2 = jnp.sum(rv * rv, -1) * inv_sigma2
+        active = valid & (chi2 <= CHI2_MONO)
+        return st + (active,), None
+
+    st0 = (Rp0, tp0, vp0, bgp0, bap0, Rwb0, twb0, v0, bg0, ba0, valid)
+    use_huber_sched = jnp.asarray([True] * (n_rounds - 1) + [False], bool)
+    carry, _ = jax.lax.scan(run_round, st0, use_huber_sched)
+    st, active = carry[:10], carry[10]
+    Rpf, tpf, vpf, bgpf, bapf = st[:5]
+    Rc, tc, vc, bgc, bac = st[5:]
+    Rc = lie.orthonormalize(Rc)
+    Rpf = lie.orthonormalize(Rpf)
+
+    # joint Hessian at the solution -> marginalize the previous state
+    pb_safe = Rcb.T @ (jnp.array([0.0, 0.0, 1.0], dtype) - tcb)
+    pts_fin = jnp.where(valid[:, None], pts_w, Rc @ pb_safe + tc)
+    st_fin = (Rpf, tpf, vpf, bgpf, bapf, Rc, tc, vc, bgc, bac)
+
+    def resid_fin(d30):
+        (Rp, tp, vp, bgp, bap), (R, t, vv, bgn, ban) = \
+            states_of(st_fin, d30)
+
+        def per_kp(pw, uv):
+            pb = R.T @ (pw - t)
+            pc = Rcb @ pb + tcb
+            return uv - project(pc)
+
+        rv = jax.vmap(per_kp)(pts_fin, obs_uv)
+        ri = _edge_resid15(
+            preint, Lr, Lb, g, Rp, tp, vp, bgp, bap, R, t, vv, bgn, ban
+        )
+        er = lie.so3_log(Rpr.T @ Rp)
+        et = Rpr.T @ (tp - tpr)
+        rp = Lp.T @ jnp.concatenate([
+            er, et, vp - vpr, bgp - bgpr, bap - bapr
+        ])
+        return rv, ri, rp
+
+    z30 = jnp.zeros(30, dtype)
+    Jv, Ji, Jp = jax.jacfwd(resid_fin)(z30)
+    wf = inv_sigma2 * active.astype(dtype)
+    H30 = (jnp.einsum("nio,nij->oj", Jv * wf[:, None, None], Jv)
+           + Ji.T @ Ji + Jp.T @ Jp)
+    H_marg = mg.marginalize(H30, 0, 14)[15:, 15:]
+    H_marg = 0.5 * (H_marg + H_marg.T)  # exact symmetry (f32 pinv chain)
+    return PoseInertialLastFrameResult(
+        Rwb=Rc, twb=tc, v=vc, bg=bgc, ba=bac,
+        inliers=active, n_inliers=jnp.sum(active), H=H_marg,
+    )

@@ -301,3 +301,56 @@ def test_schur_sharded_reduces_error(rng):
         return np.sqrt(np.mean(e))
 
     assert rms(R_out, t_out, p_out) < 0.6
+
+
+def test_vi_sharded_matches_single(rng):
+    """optimize_vi_sharded (visual residuals/landmarks sharded over the
+    mesh, inertial chain replicated) reaches the single-device
+    optimize_vi_ba fixed point — the post-loop inertial GBA path
+    (reference FullInertialBA, Optimizer.cc:420)."""
+    import sys as _sys
+    _sys.path.insert(0, "tests")
+    from test_inertial import _vi_problem
+    from extractorb_tpu.solver import inertial as vi
+
+    prob, vproject, (Rwb, twb, v, pts) = _vi_problem(
+        np.random.default_rng(3), n_kf=6, n_pts=128, perturb=1.0
+    )
+    res1 = vi.optimize_vi_ba(prob, vproject, n_iters=8, cg_iters=50)
+
+    n_dev = 8
+    mesh = dmesh.make_mesh(n_dev)
+    P = prob.points.shape[0]
+    P_pad = -(-P // n_dev) * n_dev
+    pts_p = np.zeros((P_pad, 3), np.float32)
+    pts_p[:, 2] = 1.0
+    pts_p[:P] = np.asarray(prob.points)
+    fmp = np.ones(P_pad, bool)
+    fmp[:P] = np.asarray(prob.fixed_mp)
+    okf, omp, ouv, osig, oval = dba.relayout_point_sharded(
+        np.asarray(prob.obs_kf), np.asarray(prob.obs_mp),
+        np.asarray(prob.obs_uv), np.asarray(prob.inv_sigma2),
+        np.asarray(prob.obs_valid), P_pad, n_dev,
+    )
+    prob8 = vi.VIBAProblem(
+        Rwb=prob.Rwb, twb=prob.twb, v=prob.v, bg=prob.bg, ba=prob.ba,
+        points=jnp.asarray(pts_p),
+        obs_kf=jnp.asarray(okf), obs_mp=jnp.asarray(omp),
+        obs_uv=jnp.asarray(ouv), inv_sigma2=jnp.asarray(osig),
+        obs_valid=jnp.asarray(oval), chain=prob.chain,
+        fixed_kf=prob.fixed_kf, fixed_mp=jnp.asarray(fmp),
+        Rcb=prob.Rcb, tcb=prob.tcb,
+    )
+    res8 = dba.optimize_vi_sharded(mesh, prob8, vproject,
+                                   n_iters=8, cg_iters=50)
+    np.testing.assert_allclose(
+        np.asarray(res8.twb), np.asarray(res1.twb), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res8.Rwb), np.asarray(res1.Rwb), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res8.v), np.asarray(res1.v), atol=2e-2
+    )
+    # and both recover the ground truth
+    assert np.abs(np.asarray(res8.twb) - twb).max() < 0.03

@@ -273,3 +273,68 @@ def test_pose_inertial_optimization(rng):
     # marginal H is symmetric PSD-ish
     H = np.asarray(res.H)
     assert np.allclose(H, H.T, atol=1e-2)
+
+
+def test_pose_inertial_last_frame_joint(rng):
+    """PoseInertialOptimizationLastFrame (Optimizer.cc:7722): joint
+    optimisation of the previous and current frame states, previous
+    anchored by its ConstraintPoseImu prior, then marginalized out to
+    produce the next prior (solver/marginal.py)."""
+    n_pts = 150
+    kf_states, segments = simulate(n_kf=2)
+    preint = preintegrate_segments(segments)[0]
+    R1, p1, v1 = [x.astype(np.float32) for x in map(np.asarray, kf_states[0])]
+    R2, p2, v2 = [x.astype(np.float32) for x in map(np.asarray, kf_states[1])]
+
+    pts = np.stack([
+        rng.uniform(-4, 4, n_pts), rng.uniform(-3, 3, n_pts),
+        rng.uniform(6, 14, n_pts),
+    ], -1).astype(np.float32)
+
+    def project(pc):
+        return jnp.stack([pc[0] / pc[2], pc[1] / pc[2]], -1).reshape(2)
+
+    pb = (pts - p2) @ R2
+    uv = (pb[:, :2] / pb[:, 2:3]).astype(np.float32)
+    valid = pb[:, 2] > 0.5
+
+    # previous frame slightly perturbed from truth, anchored by a
+    # strong prior AT TRUTH; current init perturbed
+    dwp = rng.normal(0, 0.01, 3)
+    Rp0 = R1 @ np.asarray(lie.so3_exp(jnp.asarray(dwp, jnp.float32)))
+    tp0 = p1 + rng.normal(0, 0.02, 3).astype(np.float32)
+    prior_H = jnp.eye(15, dtype=jnp.float32) * 1e6
+    prior_state = (jnp.asarray(R1), jnp.asarray(p1), jnp.asarray(v1),
+                   jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32))
+
+    dw = rng.normal(0, 0.02, 3)
+    R0 = R2 @ np.asarray(lie.so3_exp(jnp.asarray(dw, jnp.float32)))
+    t0 = p2 + rng.normal(0, 0.05, 3).astype(np.float32)
+    v0 = v2 + rng.normal(0, 0.1, 3).astype(np.float32)
+
+    res = vi.optimize_pose_inertial_last_frame(
+        jnp.asarray(R0), jnp.asarray(t0, jnp.float32), jnp.asarray(v0),
+        jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+        (jnp.asarray(Rp0.astype(np.float32)), jnp.asarray(tp0),
+         jnp.asarray(v1), jnp.zeros(3, jnp.float32),
+         jnp.zeros(3, jnp.float32)),
+        preint,
+        jnp.asarray(pts), jnp.asarray(uv),
+        jnp.full(n_pts, 1e4, jnp.float32), jnp.asarray(valid),
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        project, prior=(prior_H, prior_state),
+    )
+    dR = np.asarray(res.Rwb) @ R2.T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 0.3, ang
+    assert np.linalg.norm(np.asarray(res.twb) - p2) < 0.03
+    assert np.linalg.norm(np.asarray(res.v) - v2) < 0.15
+    assert int(res.n_inliers) > 80
+
+    # the marginalized ConstraintPoseImu: symmetric, PSD, and
+    # informative in the pose directions
+    H = np.asarray(res.H)
+    np.testing.assert_allclose(H, H.T, rtol=1e-4, atol=1e-2)
+    w = np.linalg.eigvalsh(H)
+    assert w.min() > -abs(w.max()) * 1e-4, w.min()  # PSD up to fp noise
+    assert w.max() > 1e3                            # visual info present

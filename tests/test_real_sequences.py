@@ -61,6 +61,42 @@ def umeyama_align(est, gt):
     return (s * (R @ est.T)).T + t
 
 
+# ---- golden regression values (recorded from a verified build; the
+# reference images ship no ground truth, so the committed accuracy
+# anchor is the final map's reprojection RMS — the quantity BA
+# minimises and the first to degrade when tracking/mapping regress).
+# Bounds are 1.15x the recorded goldens.
+GOLDEN_ROBOT_REPROJ_PX = 0.406
+GOLDEN_CORRIDOR_REPROJ_PX = 1.109
+GOLDEN_ROBOT_MIN_OBS = 400
+GOLDEN_CORRIDOR_MIN_OBS = 500
+
+
+def reproj_rms(s):
+    """Final-map reprojection RMS (px) over all keyframe observations."""
+    import jax.numpy as jnp
+
+    mp = s.tracker.atlas.current
+    K = s.tracker.K
+    errs = []
+    for kf in mp.keyframes.values():
+        rows = np.where(kf.kp_mp >= 0)[0]
+        for i in rows:
+            p = int(kf.kp_mp[i])
+            if not mp.mp_valid[p]:
+                continue
+            pc = kf.R @ mp.mp_pos[p] + kf.t
+            if pc[2] <= 0:
+                continue
+            if s.tracker.kb8 is not None:
+                uv = np.asarray(s.tracker.kb8.project(jnp.asarray(pc)))
+            else:
+                uv = np.array([K[0, 0] * pc[0] / pc[2] + K[0, 2],
+                               K[1, 1] * pc[1] / pc[2] + K[1, 2]])
+            errs.append(np.sum((uv - kf.xy_un[i]) ** 2))
+    return float(np.sqrt(np.mean(errs))), len(errs)
+
+
 @pytest.mark.slow
 def test_robot_sequence_tracks():
     frames = robot_frames()
@@ -82,23 +118,11 @@ def test_robot_sequence_tracks():
     assert s.n_map_points() > 100
     assert s.n_keyframes() >= 2
 
-    # online-vs-final consistency: frames whose timestamp has a keyframe
-    mp = s.tracker.atlas.current
-    kf_by_ts = {round(kf.timestamp, 6): kf for kf in mp.keyframes.values()}
-    online, final = [], []
-    for ts, R, t in s.tracker.trajectory:
-        kf = kf_by_ts.get(round(ts, 6))
-        if kf is None:
-            continue
-        online.append(-R.T @ t)
-        final.append(kf.center())
-    online, final = np.asarray(online), np.asarray(final)
-    assert len(online) >= 2
-    if len(online) >= 3:
-        aligned = umeyama_align(online, final)
-        rms = np.sqrt(((aligned - final) ** 2).sum(-1).mean())
-        scene = np.linalg.norm(final.max(0) - final.min(0))
-        assert rms < 0.25 * max(scene, 1e-6), (rms, scene)
+    # golden-value regression bound (1.15x a recorded good build)
+    rms_px, n_obs = reproj_rms(s)
+    assert n_obs >= GOLDEN_ROBOT_MIN_OBS, n_obs
+    assert rms_px <= GOLDEN_ROBOT_REPROJ_PX * 1.15, \
+        (rms_px, GOLDEN_ROBOT_REPROJ_PX)
 
 
 @pytest.mark.slow
@@ -108,11 +132,10 @@ def test_tumvi_corridor_fisheye_tracks():
     names = sorted(glob.glob(os.path.join(TUM_DIR, "*.png")))
     stamps = [int(os.path.basename(n).split(".")[0]) for n in names]
     order = np.argsort(stamps)
-    # drop the outlier frame ~3s before the burst
+    # EVERY available corridor frame, including the straggler ~3 s
+    # before the burst (a >1 s timestamp jump the guard must absorb)
     seq = [(stamps[i] * 1e-9, cv2.imread(names[i], 0)) for i in order]
-    t0 = seq[-1][0]
-    seq = [(t, im) for t, im in seq if t0 - t < 1.0]
-    assert len(seq) >= 5
+    assert len(seq) >= 6
 
     cfg = SLAMConfig(
         orb=ORBConfig(n_features=1500),
@@ -127,3 +150,8 @@ def test_tumvi_corridor_fisheye_tracks():
     # realistic bar for 5 frames; once initialised, tracking must hold
     assert states[-1] == TrackState.OK, states
     assert s.n_map_points() > 50
+    # golden-value regression bound (1.15x a recorded good build)
+    rms_px, n_obs = reproj_rms(s)
+    assert n_obs >= GOLDEN_CORRIDOR_MIN_OBS, n_obs
+    assert rms_px <= GOLDEN_CORRIDOR_REPROJ_PX * 1.15, \
+        (rms_px, GOLDEN_CORRIDOR_REPROJ_PX)

@@ -225,3 +225,32 @@ def test_stereo_pipelined_fused_path(luna_tex):
     len_est = np.linalg.norm(np.diff(est, axis=0), axis=1).sum()
     len_gt = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
     assert abs(len_est / len_gt - 1.0) < 0.07, (len_est, len_gt)
+
+
+@pytest.mark.slow
+def test_rgbd_pipelined_fused_path(luna_tex):
+    """RGBD through the fused path: the depth map rides the frame upload
+    and is sampled at the raw keypoint coords in-program (reference
+    ComputeStereoFromRGBD)."""
+    frames, depths, poses = render_rgbd(luna_tex, n_frames=10)
+    base = _cfg()
+    cfg = SLAMConfig(
+        orb=base.orb, camera=base.camera,
+        tracking=TrackingConfig(max_frames=4, pipeline_depth=3),
+        sensor="rgbd",
+    )
+    s = System(cfg)
+    states = [s.track_rgbd(img, dep, k / 30.0)
+              for k, (img, dep) in enumerate(zip(frames, depths))]
+    s.flush()
+    assert states[0] == TrackState.OK, states
+    assert s.tracker.n_fused_frames >= 5, s.tracker.n_fused_frames
+
+    traj = s.tracker.final_trajectory()
+    est = np.array([-(R.T @ t) for _, R, t in traj])
+    gt = np.array([-(R.T @ t) for R, t in poses])[: len(est)]
+    err = np.linalg.norm(est - gt, axis=1)
+    assert err.max() < 0.1, err
+    len_est = np.linalg.norm(np.diff(est, axis=0), axis=1).sum()
+    len_gt = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
+    assert abs(len_est / len_gt - 1.0) < 0.06, (len_est, len_gt)
