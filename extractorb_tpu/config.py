@@ -95,6 +95,10 @@ class CameraConfig:
     bf: float = 0.0                 # stereo baseline * fx (Camera.bf)
     fps: float = 30.0
     th_depth: float = 35.0          # ThDepth close/far split
+    # thFarPoints (reference System.cc:183 / Tracking mThFarPoints):
+    # stereo/RGBD observations deeper than this are never turned into
+    # map points (noisy disparity tail); 0 disables the gate
+    th_far_points: float = 0.0
     # Stereo-fisheye overlap region in x (Camera.lappingBegin/End,
     # reference: src/Tracking.cc ParseCamParamFile KB8 branch); -1 = unset.
     lapping_begin: float = -1.0
@@ -208,6 +212,7 @@ def load_yaml(path: str) -> SLAMConfig:
         bf=float(_get(d, "Camera.bf", 0.0)),
         fps=float(_get(d, "Camera.fps", 30.0)),
         th_depth=float(_get(d, "ThDepth", 35.0)),
+        th_far_points=float(_get(d, "thFarPoints", 0.0)),
         lapping_begin=float(_get(d, "Camera.lappingBegin", -1.0)),
         lapping_end=float(_get(d, "Camera.lappingEnd", -1.0)),
     )

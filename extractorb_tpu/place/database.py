@@ -86,6 +86,27 @@ class KeyFrameDatabase:
             self._dirty = False
         return self._cat_words, self._cat_weights, self._cat_row, self._row_ids
 
+    def min_score_against(self, keys, descs, valid=None):
+        """Minimum L1 BoW score of the query against the given stored
+        entries (reference DetectLoopCandidates' minScore loop over the
+        current keyframe's covisibles, KeyFrameDatabase.cc:100 caller
+        side at LoopClosing).  Returns None when no key is stored."""
+        q_ids, q_w = self.vocab.bow_sparse(descs, valid)
+        if len(q_ids) == 0:
+            return None
+        qv = np.zeros(self.vocab.n_words, np.float32)
+        qv[q_ids] = q_w
+        best = None
+        for k in keys:
+            e = self.entries.get(k)
+            if e is None:
+                continue
+            ids, w = e
+            qg = qv[ids]
+            s = float(0.5 * np.sum(w + qg - np.abs(w - qg)))
+            best = s if best is None else min(best, s)
+        return best
+
     # --------------------------------------------------------------- query
 
     def query(
@@ -97,6 +118,7 @@ class KeyFrameDatabase:
         min_common_ratio: float = 0.8,
         covis_fn=None,
         rel_score_ratio: Optional[float] = None,
+        min_score: Optional[float] = None,
     ) -> List[Tuple[int, float]]:
         """DetectNBestCandidates / DetectRelocalizationCandidates query
         (reference KeyFrameDatabase.cc:612-897): shared-word gate at
@@ -108,6 +130,10 @@ class KeyFrameDatabase:
         covis_fn: kf_key -> iterable of kf_keys (top covisibles).
         rel_score_ratio: if set (reloc uses 0.75), return ALL groups with
         accScore >= ratio * best accScore instead of the top n_best.
+        min_score: score floor (reference DetectLoopCandidates,
+        KeyFrameDatabase.cc:100: candidates must beat the WORST score
+        the query gets against its own covisibles — anything less
+        similar than the query's own neighbourhood is noise).
 
         Returns [(kf_id, acc_score)] best-first.
         """
@@ -140,6 +166,8 @@ class KeyFrameDatabase:
             return []
         max_common = common[live].max()
         gate = live & (common >= min_common_ratio * max_common) & (common > 0)
+        if min_score is not None:
+            gate &= scores >= min_score
         if not gate.any():
             return []
 

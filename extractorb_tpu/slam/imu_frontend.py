@@ -604,47 +604,8 @@ def local_inertial_ba(mp, calib: ImuCalib, project, kf_id: int,
         Rcb=jnp.asarray(calib.Rcb), tcb=jnp.asarray(calib.tcb),
         prior_g=0.0, prior_a=0.0,
     )
-    import numpy as _np
-
-    n_dev = 1
-    if mesh is not None:
-        n_dev = int(_np.prod(list(mesh.shape.values())))
-    if n_dev > 1:
-        from ..dist import sharded_ba as dba
-
-        # points already bucket-padded; pad up to mesh divisibility and
-        # regroup the observations by their point's shard
-        P_pad = -(-P // n_dev) * n_dev
-        if P_pad != P:
-            pts2 = _np.zeros((P_pad, 3), _np.float32)
-            pts2[:, 2] = 1.0
-            pts2[:P] = _np.asarray(prob.points)
-            fmp2 = _np.ones(P_pad, bool)
-            fmp2[:P] = _np.asarray(prob.fixed_mp)
-        else:
-            pts2 = _np.asarray(prob.points)
-            fmp2 = _np.asarray(prob.fixed_mp)
-        okf, omp, ouv, osig, oval = dba.relayout_point_sharded(
-            _np.asarray(prob.obs_kf), _np.asarray(prob.obs_mp),
-            _np.asarray(prob.obs_uv), _np.asarray(prob.inv_sigma2),
-            _np.asarray(prob.obs_valid), P_pad, n_dev,
-        )
-        prob = sin.VIBAProblem(
-            Rwb=prob.Rwb, twb=prob.twb, v=prob.v, bg=prob.bg, ba=prob.ba,
-            points=jnp.asarray(pts2),
-            obs_kf=jnp.asarray(okf), obs_mp=jnp.asarray(omp),
-            obs_uv=jnp.asarray(ouv), inv_sigma2=jnp.asarray(osig),
-            obs_valid=jnp.asarray(oval), chain=prob.chain,
-            fixed_kf=prob.fixed_kf, fixed_mp=jnp.asarray(fmp2),
-            Rcb=prob.Rcb, tcb=prob.tcb,
-            prior_g=prob.prior_g, prior_a=prob.prior_a,
-        )
-        res = dba.optimize_vi_sharded(
-            mesh, prob, project, n_iters=n_iters, cg_iters=cg_iters,
-        )
-    else:
-        res = sin.optimize_vi_ba(prob, project, n_iters=n_iters,
-                                 cg_iters=cg_iters)
+    res = sin.optimize_vi_ba(prob, project, n_iters=n_iters,
+                             cg_iters=cg_iters)
     Rwb_n = np.asarray(res.Rwb)
     twb_n = np.asarray(res.twb)
     v_n = np.asarray(res.v)

@@ -180,10 +180,17 @@ class LoopCloser:
             return [encode_dbid(m, nk)
                     for nk, _ in target.covisible_keyframes(k, 1)[:10]]
 
+        # score floor (reference DetectLoopCandidates minScore,
+        # KeyFrameDatabase.cc:100): a candidate must look at least as
+        # similar as the query's WORST-scoring covisible neighbour
+        min_score = self.db.min_score_against(
+            [encode_dbid(mid, k) for k in covis if k != kf_id],
+            kf.desc, valid=kf.valid,
+        )
         cands = self.db.query(
             kf.desc, valid=kf.valid,
             exclude={encode_dbid(mid, k) for k in covis}, n_best=3,
-            covis_fn=covis_keys,
+            covis_fn=covis_keys, min_score=min_score,
         )
         self.db.add(encode_dbid(mid, kf_id), kf.desc, valid=kf.valid)
 

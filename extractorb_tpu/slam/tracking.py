@@ -189,6 +189,9 @@ class Tracker:
         self.th_depth = (
             self.bf * float(cam_cfg.th_depth) / fx if self.bf > 0 else 0.0
         )
+        # thFarPoints gate on stereo/RGBD point creation (reference
+        # System.cc:183 -> Tracking mThFarPoints/mbFarPoints)
+        self.th_far_points = float(cam_cfg.th_far_points)
         self.sensor = cfg.sensor
 
         self.state = TrackState.NO_IMAGES_YET
@@ -938,6 +941,8 @@ class Tracker:
         n_pts = 0
         for i in np.where(frame.valid & (frame.depth > 0))[0]:
             z = float(frame.depth[i])
+            if self.th_far_points > 0 and z > self.th_far_points:
+                continue  # thFarPoints (reference Tracking mbFarPoints)
             if frame.p3d_stereo is not None:
                 pos = frame.p3d_stereo[i].astype(np.float32)
             else:
@@ -1024,22 +1029,45 @@ class Tracker:
             p3d[matched] = mp.mp_pos[frame.kp_mp[matched]]
             fx, fy = self.K[0, 0], self.K[1, 1]
             if self.is_fisheye:
-                # MLPnP semantics (reference inc/MLPnPsolver.h:59-157):
-                # fisheye keypoints are raw pixels, so unproject through
-                # the full KB8 model to unit bearings and run PnP on the
-                # perspective division of the bearing; rays more than
-                # ~87 deg off-axis cannot be represented as z=1
-                # normalized coords and are dropped from the sample set.
+                # MLPnP (reference inc/MLPnPsolver.h:59-157, the solver
+                # Relocalization actually uses): unproject through the
+                # full KB8 model to UNIT BEARINGS and solve with the
+                # nullspace-parameterized estimator + covariance-
+                # weighted GN — bearings anywhere on the sphere,
+                # including >87-degree off-axis fisheye rays a z=1
+                # projection cannot express, are first-class.
                 bear = np.asarray(self.kb8.unproject(
                     jnp.asarray(frame.xy_un)))
-                front = bear[:, 2] > 0.05
-                z = np.where(front, bear[:, 2], 1.0)[:, None]
-                xy_n = (bear[:, :2] / z).astype(np.float32)
-                matched = matched & front
-            else:
-                xy_n = (frame.xy_un - self.K[:2, 2]) / np.array(
-                    [fx, fy], np.float32
+                bear = (bear / np.maximum(np.linalg.norm(
+                    bear, axis=1, keepdims=True), 1e-12)).astype(np.float32)
+                res = pnp.mlpnp_ransac(
+                    jnp.asarray(p3d), jnp.asarray(bear),
+                    jnp.asarray(matched),
+                    jax.random.PRNGKey(frame.frame_id),
+                    min_inliers=12,
                 )
+                if bool(res.ok):
+                    info = np.asarray(self.inv_sigma2, np.float32)[
+                        np.clip(frame.octave, 0,
+                                len(self.inv_sigma2) - 1)
+                    ] * (fx * fx)
+                    R_r, t_r = pnp.mlpnp_refine(
+                        res.R, res.t, jnp.asarray(p3d),
+                        jnp.asarray(bear), jnp.asarray(info),
+                        jnp.asarray(matched & np.asarray(res.inliers)),
+                    )
+                    frame.R = np.asarray(R_r)
+                    frame.t = np.asarray(t_r)
+                else:
+                    frame.R = kf.R.copy()
+                    frame.t = kf.t.copy()
+                if self._pose_opt(frame, min_inliers=20):
+                    self.ref_kf = cand
+                    return True
+                continue
+            xy_n = (frame.xy_un - self.K[:2, 2]) / np.array(
+                [fx, fy], np.float32
+            )
             res = pnp.ransac_pnp(
                 jnp.asarray(p3d), jnp.asarray(xy_n), jnp.asarray(matched),
                 jax.random.PRNGKey(frame.frame_id),
@@ -1934,6 +1962,8 @@ class Tracker:
                 z = float(frame.depth[i])
                 if n_created >= 100 and z > self.th_depth:
                     break
+                if self.th_far_points > 0 and z > self.th_far_points:
+                    break  # depth-sorted: everything after is farther
                 if frame.p3d_stereo is not None:
                     pc = frame.p3d_stereo[i].astype(np.float32)
                 else:

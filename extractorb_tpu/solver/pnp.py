@@ -202,3 +202,143 @@ def refine_pnp(result: PnPResult, p3d, xy, project, inv_sigma2=None):
     return spo.optimize_pose(
         result.R, result.t, p3d, xy, inv_sigma2, result.inliers, project,
     )
+
+
+# --------------------------------------------------------------------------
+# MLPnP: maximum-likelihood PnP on unit bearing vectors
+# --------------------------------------------------------------------------
+
+
+def _null_basis(bear):
+    """Per-bearing 2D nullspace basis (r, s) with r,s ⟂ v, |r|=|s|=1
+    (reference MLPnPsolver nullspace parameterization,
+    inc/MLPnPsolver.h:59-157): residuals live in the tangent plane of
+    the unit sphere, so bearings anywhere on the sphere — including the
+    >87-degree off-axis fisheye rays a z=1 projection cannot express —
+    are first-class measurements."""
+    v = bear / jnp.linalg.norm(bear, axis=-1, keepdims=True)
+    # pick the axis least aligned with v for a stable cross product
+    ref = jnp.where(
+        (jnp.abs(v[..., 2:3]) < 0.9), jnp.array([0.0, 0.0, 1.0], v.dtype),
+        jnp.array([1.0, 0.0, 0.0], v.dtype),
+    )
+    r = jnp.cross(v, ref)
+    r = r / jnp.maximum(jnp.linalg.norm(r, axis=-1, keepdims=True), 1e-12)
+    s = jnp.cross(v, r)
+    return r, s
+
+
+def _mlpnp_pose(p3d, bear):
+    """Closed-form MLPnP initial pose from S >= 6 (point, bearing)
+    pairs: stack the nullspace constraints r_i^T(R p_i + t) = 0,
+    s_i^T(R p_i + t) = 0 into a (2S,12) system, take the smallest
+    singular vector, project onto SO(3) (Procrustes) and fix the sign
+    by bearing cheirality."""
+    r, s = _null_basis(bear)
+
+    def rows(n):
+        # n^T (R p + t): coefficients for vec(R row-major) then t
+        return jnp.concatenate(
+            [n[:, 0:1] * p3d, n[:, 1:2] * p3d, n[:, 2:3] * p3d, n], -1
+        )
+
+    A = jnp.concatenate([rows(r), rows(s)], 0)       # (2S,12)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    v = vt[-1]                     # layout: [vec(R) row-major, t]
+    M = v[:9].reshape(3, 3)
+    t_raw = v[9:12]
+    # sign first (the singular vector is defined up to sign): transformed
+    # points must align with their bearings — decided on the RAW estimate
+    # so the Procrustes projection below sees a positively-scaled rotation
+    pc_raw = p3d @ M.T + t_raw
+    agree = jnp.sum(jnp.sum(pc_raw * bear, -1))
+    M = jnp.where(agree < 0, -M, M)
+    t_raw = jnp.where(agree < 0, -t_raw, t_raw)
+    u, sv, vtm = jnp.linalg.svd(M)
+    d = jnp.linalg.det(u @ vtm)
+    R = u @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], M.dtype)
+                     + jnp.asarray([0.0, 0.0, 1.0], M.dtype) * d) @ vtm
+    scale = jnp.maximum(jnp.mean(sv), 1e-12)
+    t = t_raw / scale
+    return R, t
+
+
+def _score_bearing(R, t, p3d, bear, valid, cos_th):
+    pc = p3d @ R.T + t
+    n = jnp.maximum(jnp.linalg.norm(pc, axis=-1), 1e-12)
+    cosang = jnp.sum(pc * bear, -1) / n
+    inl = valid & (cosang > cos_th)
+    return inl, jnp.sum(inl.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def mlpnp_ransac(
+    p3d, bear, valid, key,
+    n_hyp: int = 256, ang_th_deg: float = 0.6, min_inliers: int = 12,
+):
+    """Batched-RANSAC MLPnP (the solver the reference's Relocalization
+    actually uses, inc/MLPnPsolver.h): all hypotheses drawn up front,
+    solved as one vmapped (2S,12) SVD batch, scored by bearing angle."""
+    N = p3d.shape[0]
+    cos_th = jnp.cos(jnp.deg2rad(ang_th_deg))
+    logits = jnp.where(valid, 0.0, -1e9)
+    idx = jax.random.categorical(
+        key, logits[None, None, :], axis=-1,
+        shape=(n_hyp, MIN_SAMPLE),
+    )
+
+    def solve_one(rows):
+        return _mlpnp_pose(p3d[rows], bear[rows])
+
+    Rs, ts = jax.vmap(solve_one)(idx)
+    inls, counts = jax.vmap(
+        lambda R, t: _score_bearing(R, t, p3d, bear, valid, cos_th)
+    )(Rs, ts)
+    best = jnp.argmax(counts)
+    R, t = Rs[best], ts[best]
+    inl = inls[best]
+    n = counts[best]
+    return PnPResult(R=R, t=t, inliers=inl, n_inliers=n,
+                     ok=n >= min_inliers)
+
+
+@partial(jax.jit, static_argnums=(6,))
+def mlpnp_refine(R0, t0, p3d, bear, info, valid, n_iters: int = 8):
+    """Covariance-weighted Gauss-Newton refinement on the nullspace
+    residuals [r_i^T u; s_i^T u], u = (R p + t)/|R p + t| — the ML part
+    of MLPnP (reference refineGaussNewton, inc/MLPnPsolver.h:120
+    region).  ``info`` is the per-observation information weight
+    (inverse bearing-tangent variance, e.g. inv_sigma2 of the keypoint
+    octave mapped through the unprojection)."""
+    from ..core import lie
+
+    r_b, s_b = _null_basis(bear)
+    w = info * valid.astype(p3d.dtype)
+
+    def step(carry, _):
+        R, t = carry
+
+        def resid(d6):
+            dR, dt = lie.se3_exp(d6)
+            Rn = R @ dR
+            tn = R @ dt + t
+            pc = p3d @ Rn.T + tn
+            u = pc / jnp.maximum(
+                jnp.linalg.norm(pc, axis=-1, keepdims=True), 1e-12)
+            return jnp.stack(
+                [jnp.sum(r_b * u, -1), jnp.sum(s_b * u, -1)], -1
+            )  # (N,2)
+
+        z6 = jnp.zeros(6, p3d.dtype)
+        r = resid(z6)
+        J = jax.jacfwd(resid)(z6)           # (N,2,6)
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("nio,nij->oj", Jw, J)
+        b = jnp.einsum("nio,ni->o", Jw, r)
+        d = -jnp.linalg.solve(H + 1e-8 * jnp.eye(6, dtype=H.dtype), b)
+        dR, dt = lie.se3_exp(d)
+        return (R @ dR, R @ dt + t), None
+
+    (R, t), _ = jax.lax.scan(step, (R0, t0), None, length=n_iters)
+    from ..core import lie as _lie
+    return _lie.orthonormalize(R), t

@@ -127,3 +127,73 @@ def test_epnp_beats_dlt_under_noise(rng):
     assert ep_inl > dl_inl * 1.15, (ep_inl, dl_inl)
     assert ep_inl > 0.75 * n, ep_inl
     assert np.mean([ang_err(r) for r in ep]) < 1.5  # unrefined minimal solve
+
+
+def test_mlpnp_recovers_pose_with_off_axis_bearings(rng):
+    """MLPnP (nullspace bearings) recovers a pose from a fisheye-like
+    field of view INCLUDING rays >87 deg off-axis that a z=1 projection
+    cannot express (the reference MLPnPsolver's raison d'etre)."""
+    from extractorb_tpu.core import lie
+
+    N = 120
+    # points spread over more than a hemisphere around the camera
+    dirs = rng.normal(size=(N, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    dirs[:, 2] = np.abs(dirs[:, 2]) * 0.4 - 0.1  # many near/behind z=0
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    depth = rng.uniform(2, 8, N)[:, None]
+    R_gt = np.asarray(lie.so3_exp(jnp.asarray([0.2, -0.3, 0.1])),
+                      np.float32)
+    t_gt = np.array([0.4, -0.2, 0.6], np.float32)
+    pc = (dirs * depth).astype(np.float32)          # camera-frame points
+    p3d = (pc - t_gt) @ R_gt                        # world points
+    bear = (pc / np.linalg.norm(pc, axis=1, keepdims=True)).astype(
+        np.float32)
+    # sanity: a sizeable share of rays are >80 deg off-axis
+    assert (bear[:, 2] < 0.17).mean() > 0.3
+
+    valid = np.ones(N, bool)
+    res = pnp.mlpnp_ransac(
+        jnp.asarray(p3d), jnp.asarray(bear), jnp.asarray(valid),
+        jax.random.PRNGKey(0),
+    )
+    assert bool(res.ok), int(res.n_inliers)
+    R1, t1 = pnp.mlpnp_refine(
+        res.R, res.t, jnp.asarray(p3d), jnp.asarray(bear),
+        jnp.full(N, 1e4, jnp.float32), jnp.asarray(valid),
+    )
+    dR = np.asarray(R1) @ R_gt.T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 0.2, ang
+    assert np.linalg.norm(np.asarray(t1) - t_gt) < 0.02
+
+
+def test_mlpnp_robust_to_outliers(rng):
+    from extractorb_tpu.core import lie
+
+    N = 100
+    dirs = rng.normal(size=(N, 3))
+    dirs[:, 2] = np.abs(dirs[:, 2]) + 0.3
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    depth = rng.uniform(2, 8, N)[:, None]
+    R_gt = np.asarray(lie.so3_exp(jnp.asarray([0.1, 0.2, -0.1])),
+                      np.float32)
+    t_gt = np.array([-0.3, 0.1, 0.2], np.float32)
+    pc = (dirs * depth).astype(np.float32)
+    p3d = (pc - t_gt) @ R_gt
+    bear = (pc / np.linalg.norm(pc, axis=1, keepdims=True)).astype(
+        np.float32)
+    out = rng.choice(N, 30, replace=False)
+    bear[out] = rng.normal(size=(30, 3)).astype(np.float32)
+    bear[out] /= np.linalg.norm(bear[out], axis=1, keepdims=True)
+
+    res = pnp.mlpnp_ransac(
+        jnp.asarray(p3d), jnp.asarray(bear), jnp.ones(N, bool),
+        jax.random.PRNGKey(1),
+    )
+    assert bool(res.ok)
+    inl = np.asarray(res.inliers)
+    assert inl[out].mean() < 0.2          # outliers rejected
+    dR = np.asarray(res.R) @ R_gt.T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 1.0, ang

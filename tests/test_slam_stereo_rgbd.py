@@ -254,3 +254,28 @@ def test_rgbd_pipelined_fused_path(luna_tex):
     len_est = np.linalg.norm(np.diff(est, axis=0), axis=1).sum()
     len_gt = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
     assert abs(len_est / len_gt - 1.0) < 0.06, (len_est, len_gt)
+
+
+def test_th_far_points_gate(luna_tex):
+    """thFarPoints (reference System.cc:183): stereo/RGBD observations
+    deeper than the threshold never become map points."""
+    # single init frame: the only creation path is the stereo/RGBD
+    # depth unprojection the gate applies to (triangulated points are
+    # legitimately allowed past thFarPoints, like the reference)
+    frames, depths, poses = render_rgbd(luna_tex, n_frames=1)
+    base = _cfg()
+    from dataclasses import replace
+    for far, expect_far_points in ((0.0, True), (4.0, False)):
+        cfg = SLAMConfig(
+            orb=base.orb,
+            camera=replace(base.camera, th_far_points=far),
+            tracking=TrackingConfig(max_frames=2),
+            sensor="rgbd",
+        )
+        s = System(cfg)
+        s.track_rgbd(frames[0], depths[0], 0.0)
+        mp = s.tracker.atlas.current
+        pts = mp.mp_pos[: mp._next_mp][mp.mp_valid[: mp._next_mp]]
+        # the far wall sits at z=5 (world == first camera frame)
+        has_far = bool((pts[:, 2] > 4.5).any())
+        assert has_far == expect_far_points, (far, has_far)
