@@ -38,6 +38,47 @@ class KeyFrameDatabase:
         self._cat_weights: Optional[np.ndarray] = None  # (nnz,) float32
         self._cat_row: Optional[np.ndarray] = None      # (nnz,) int32 row
         self._row_ids: Optional[np.ndarray] = None      # (K,) int64 kf ids
+        # optional device-sharded scoring backend (dist/kf_blocks):
+        # dense per-KF histograms sharded over the mesh, scored with one
+        # MXU pass per shard (SURVEY §5.7's place-retrieval sharding).
+        # Dense rows are W floats each, so this backend is for compact
+        # vocabularies (n_words <= max_dense_words); the host CSR stays
+        # the default at ORBvoc scale (~1M words).
+        self._mesh = None
+        self._max_dense_words = 1 << 16
+        self._rev = 0            # bumped on every mutation
+        self._dev_rev = -1       # revision the device arena reflects
+        self._dev_hists = None
+        self._dev_words = None
+        self._dev_valid = None
+
+    def enable_device_backend(self, mesh, max_dense_words: int = 1 << 16):
+        """Shard place scoring over the device mesh (exact same scores
+        as the host CSR pass; see tests/test_place_sharded.py)."""
+        self._mesh = mesh
+        self._max_dense_words = max_dense_words
+        self._dirty = True
+
+    def _device_arena(self):
+        from ..dist import kf_blocks as kfb
+
+        if self._dev_hists is None or self._dev_rev != self._rev:
+            self._dev_rev = self._rev
+            cw, cwt, crow, row_ids = self._arena()
+            K = len(row_ids)
+            n_dev = int(np.prod(list(self._mesh.shape.values())))
+            W = self.vocab.n_words
+            hists = np.zeros((K, W), np.float32)
+            hists[crow, cw] = cwt
+            has = hists > 0
+            valid = np.ones(K, bool)
+            hists = kfb.pad_to_mesh(hists, n_dev)
+            has = kfb.pad_to_mesh(has, n_dev)
+            valid = kfb.pad_to_mesh(valid, n_dev)
+            self._dev_hists = kfb.shard_kf_axis(self._mesh, hists)
+            self._dev_words = kfb.shard_kf_axis(self._mesh, has)
+            self._dev_valid = kfb.shard_kf_axis(self._mesh, valid)
+        return self._dev_hists, self._dev_words, self._dev_valid
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -50,6 +91,7 @@ class KeyFrameDatabase:
         ids, w = self.vocab.bow_sparse(descs, valid)
         self.entries[kf_id] = (ids, w)
         self._dirty = True
+        self._rev += 1
 
     def rekey(self, old_id: int, new_id: int):
         """Rename an entry in place (used when Atlas maps merge and the
@@ -58,12 +100,14 @@ class KeyFrameDatabase:
         if e is not None:
             self.entries[new_id] = e
             self._dirty = True
+        self._rev += 1
 
     def erase(self, kf_id: int):
         """Drop a culled keyframe's entry (reference
         KeyFrameDatabase::erase, src/KeyFrameDatabase.cc:47)."""
         if self.entries.pop(kf_id, None) is not None:
             self._dirty = True
+        self._rev += 1
 
     def _arena(self):
         if self._dirty:
@@ -148,14 +192,27 @@ class KeyFrameDatabase:
         qv = np.zeros(self.vocab.n_words, np.float32)
         qv[q_ids] = q_w
 
-        qg = qv[cw]                        # query weight at each stored word
-        shared = qg > 0
-        # common-word counts and L1 scores, one segment-sum each
-        common = np.zeros(K, np.int64)
-        np.add.at(common, crow[shared], 1)
-        contrib = 0.5 * (cwt + qg - np.abs(cwt - qg))
-        scores = np.zeros(K, np.float64)
-        np.add.at(scores, crow, contrib)
+        if (self._mesh is not None
+                and self.vocab.n_words <= self._max_dense_words):
+            # device-sharded scoring (dist/kf_blocks): one MXU pass per
+            # shard over the dense histograms; mathematically identical
+            # to the host segment sums below
+            from ..dist import kf_blocks as kfb
+
+            hists, has, dvalid = self._device_arena()
+            sc, cm = kfb.sharded_place_scores(
+                self._mesh, hists, has, dvalid, qv)
+            scores = np.asarray(sc)[:K].astype(np.float64)
+            common = np.asarray(cm)[:K].astype(np.int64)
+        else:
+            qg = qv[cw]                    # query weight at each stored word
+            shared = qg > 0
+            # common-word counts and L1 scores, one segment-sum each
+            common = np.zeros(K, np.int64)
+            np.add.at(common, crow[shared], 1)
+            contrib = 0.5 * (cwt + qg - np.abs(cwt - qg))
+            scores = np.zeros(K, np.float64)
+            np.add.at(scores, crow, contrib)
 
         live = np.ones(K, bool)
         if exclude:

@@ -117,6 +117,10 @@ class LoopCloser:
         self.async_gba = async_gba
         self.pending_gba = None
         self.n_gba_applied = 0
+        # in-flight welding BA after an Atlas merge (same dispatch-then-
+        # confirm pattern as the GBA: the solve runs on device while
+        # tracking resumes in the already-welded, Sim3-consistent map)
+        self.pending_weld = None   # (mid, PendingBA)
         # essential graphs with at least this many edges run the
         # edge-sharded multi-device solver (dist/sharded_pose_graph);
         # smaller graphs stay single-device (identical fixed point,
@@ -145,9 +149,27 @@ class LoopCloser:
             if p.apply(mp):
                 self.n_gba_applied += 1
 
+    def poll_weld(self, mp: SLAMMap, force: bool = False):
+        """Apply a finished in-flight post-merge welding BA."""
+        w = self.pending_weld
+        if w is None:
+            return
+        mid, pend = w
+        if mid != mp.mid:
+            self.pending_weld = None
+            return
+        try:
+            ready = pend.res.R.is_ready()
+        except AttributeError:  # pragma: no cover — older jax
+            ready = True
+        if force or ready:
+            self.pending_weld = None
+            pend.apply(mp)
+
     def finish(self, mp: SLAMMap):
-        """Settle any in-flight GBA (called from Tracker.flush)."""
+        """Settle any in-flight GBA / welding BA (Tracker.flush)."""
         self.poll_gba(mp, force=True)
+        self.poll_weld(mp, force=True)
 
     # ------------------------------------------------------------ per-KF
 
@@ -158,6 +180,7 @@ class LoopCloser:
         if self.db is None:
             return False
         self.poll_gba(mp)
+        self.poll_weld(mp)
         mid = mp.mid
         kf = mp.keyframes[kf_id]
         # "connected" = the weight>=15 covisibility graph (reference
@@ -673,12 +696,19 @@ class LoopCloser:
             if m1 >= 0 and m1 != mp2:
                 self._merge_points(other, keep=mp2, drop=m1)
         # welding bundle adjustment around the seam; inertial welds also
-        # run the VI window BA (MergeInertialBA, Optimizer.cc:6760)
+        # run the VI window BA (MergeInertialBA, Optimizer.cc:6760).
+        # In async mode the solve is dispatched here and applied on a
+        # later keyframe event (or finish()) — the merged map is already
+        # Sim3-consistent, so tracking resumes immediately and the weld
+        # refinement lands without stalling the camera feed.
         if self.inv_sigma2 is not None:
-            mg.weld_bundle_adjustment(
+            pend = mg.weld_bundle_adjustment(
                 other, info["kf_cur"], info["kf_matched"],
                 self.project, self.inv_sigma2,
+                async_apply=self.async_gba,
             )
+            if pend is not None:
+                self.pending_weld = (other.mid, pend)
         if self.imu_calib is not None and other.imu_initialized:
             mg.weld_inertial_bundle_adjustment(
                 other, self.imu_calib, self.project, info["kf_cur"],

@@ -165,7 +165,8 @@ def weld_bundle_adjustment(
     inv_sigma2: Sequence[float],
     n_iters: int = 10,
     window: int = 8,
-) -> None:
+    async_apply: bool = False,
+):
     """MergeBundleAdjustmentVisual analog (src/Optimizer.cc:5759):
     optimise the covisible windows around both seam keyframes; other
     observers of the windows' points are included fixed."""
@@ -188,9 +189,9 @@ def weld_bundle_adjustment(
         # gauge: freeze the matched keyframe (the kept map's frame)
         fixed = {kf_matched}
         local.discard(kf_matched)
-    run_ba(
+    return run_ba(
         mp, sorted(local | fixed), fixed, project, inv_sigma2,
-        n_iters=n_iters,
+        n_iters=n_iters, async_apply=async_apply,
     )
 
 

@@ -134,8 +134,9 @@ def test_place_recognition_merge_from_pixels(luna_gray):
         return float(np.sqrt(((aligned - gt) ** 2).sum(-1).mean()))
 
     # The bound checks the weld left both segments in ONE consistent
-    # frame (a broken weld gives meters of error); the exact value is
-    # chaotic — monocular scale drifts independently in each segment and
-    # small keyframe-cadence changes move it by ~0.1 on this 14 m sweep.
+    # frame (a broken weld gives meters of error).  With pose rotations
+    # kept on SO(3) the drift that used to make this chaotic is gone:
+    # ~1% of the 14 m sweep, with 2x headroom for keyframe-cadence
+    # variation between the two independently-scaled mono segments.
     ate_final = ate(sys_.tracker.final_trajectory())
-    assert ate_final < 0.45, ate_final
+    assert ate_final < 0.30, ate_final
