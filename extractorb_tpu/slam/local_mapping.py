@@ -426,7 +426,7 @@ class LocalMapper:
             # apply_tf when the new points land.
             self._pending_tf = (mp.mid, kf_id, tri, fuse)
         else:
-            fetched = jax.device_get([
+            fetched = pack_fetch([
                 [g[-1] for g in tri],
                 [g[-1] for g in fuse],
             ])

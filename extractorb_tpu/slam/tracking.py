@@ -1988,8 +1988,11 @@ class Tracker:
         # keyframe decisions always see a fresh map
         defer = (
             self.cfg.tracking.pipeline_depth > 0
-            and self.sensor == "monocular" and not self.inertial
+            and not self.inertial
             and self.cfg.orb.octree == "device"
+            and (self.sensor == "monocular"
+                 or (self.sensor == "stereo" and self.cam_r is None)
+                 or self.sensor == "rgbd")
         )
         self.local_mapper.process_keyframe(mp, kf.kid, defer_fetch=defer)
         # staged IMU initialisation / refinement
