@@ -315,11 +315,26 @@ class LocalMapper:
         # results became visible (gates its weak-tracking KF trigger)
         self.on_tf_applied = None
 
-    def flush_ba(self, mp: SLAMMap):
-        """Apply the in-flight window BA, if any (and still valid)."""
+    def flush_ba(self, mp: SLAMMap, force: bool = True):
+        """Apply the in-flight window BA, if any (and still valid).
+
+        With force=False (polled at keyframe events) a solve still
+        running on device is LEFT in flight instead of blocked on —
+        the reference's mbAbortBA semantics: a new keyframe must not
+        wait for the running local BA (src/Tracking.cc:2770
+        InterruptBA); the result applies on the next confirmation
+        round trip it rides."""
         p = self._pending_ba
+        if p is None:
+            return
+        if not force:
+            try:
+                if not p.res.R.is_ready():
+                    return
+            except AttributeError:  # pragma: no cover — older jax
+                pass
         self._pending_ba = None
-        if p is not None and self._pending_ba_mid == mp.mid:
+        if self._pending_ba_mid == mp.mid:
             p.apply(mp)
 
     def pending_ba_handles(self):
@@ -413,7 +428,7 @@ class LocalMapper:
         (a one-keyframe delay vs the reference's ordering; duplicates
         are still merged, one keyframe later)."""
         self.flush_tf(mp)
-        self.flush_ba(mp)
+        self.flush_ba(mp, force=False)
         self._assign_parent(mp, kf_id)
         self._cull_map_points(mp)
         tri = self._create_new_points_dispatch(mp, kf_id)
@@ -600,7 +615,7 @@ class LocalMapper:
         neighbors = [k for k, _ in mp.covisible_keyframes(kf_id, 1)[:n_neighbors]]
         if not neighbors:
             return []
-        M = 4096
+        M_CAP = 4096
         own = mp.points_seen_by([kf_id])
         jobs = []  # (target_kf_id, pt_ids)
         pts = mp.points_seen_by(neighbors)
@@ -613,9 +628,18 @@ class LocalMapper:
             pt_ids = np.asarray(
                 [p for p in pt_ids if tgt not in mp.obs.get(int(p), {})],
                 np.int32,
-            )[:M]
+            )[:M_CAP]
             if len(pt_ids):
                 filt.append((tgt, pt_ids))
+        # pad the point axis to the smallest bucket that fits the
+        # biggest job: most fuse jobs carry only the current keyframe's
+        # few-hundred new points, and a fixed 4096 pad made every job
+        # pay ~8x its real search cost
+        if filt:
+            biggest = max(len(p) for _, p in filt)
+            M = next(b for b in (512, 1024, 2048, 4096) if biggest <= b)
+        else:
+            M = 512
         if not filt:
             return []
         # group by target keyframe capacity (init KFs run at 5x); the

@@ -627,6 +627,7 @@ class Tracker:
         async global BA.  No-op in synchronous mode."""
         self._confirm_pipe()
         self.local_mapper.flush_tf(self.atlas.current)
+        self.local_mapper.flush_ba(self.atlas.current)
         self.loop_closer.finish(self.atlas.current)
 
     def _confirm_pipe(self, keep: int = 0):
