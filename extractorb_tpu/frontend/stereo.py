@@ -68,52 +68,76 @@ def compute_stereo_matches(
     cand_ok = best < TH_ORB
 
     # --- SAD sub-pixel refinement (reference :896-960)
+    #
+    # TPU formulation: the original per-keypoint lax.switch over the 8
+    # pyramid levels made every vmapped keypoint gather patches from
+    # EVERY level (vmap turns cond/switch into select-all-branches) —
+    # ~30 ms of the stereo step.  Instead the bordered pyramid levels
+    # are flattened into ONE buffer with per-level (offset, stride)
+    # tables, each keypoint's patch indices are computed arithmetically
+    # from its own level, and the whole batch issues a single gather.
     w, L = 5, 5
     border = 19
 
-    def refine(iL):
-        lvl = jnp.clip(octave_l[iL], 0, len(scale_factors) - 1)
-        inv = inv_scales[lvl]
-        uL = jnp.round(xy_l[iL, 0] * inv).astype(jnp.int32)
-        vL = jnp.round(xy_l[iL, 1] * inv).astype(jnp.int32)
-        uR0 = jnp.round(xy_r[best_idx[iL], 0] * inv).astype(jnp.int32)
+    flat_l = jnp.concatenate([p.reshape(-1) for p in pyr_l_bordered])
+    flat_r = jnp.concatenate([p.reshape(-1) for p in pyr_r_bordered])
+    offs_np, strides_np, hs_np, ws_np = [], [], [], []
+    acc = 0
+    for p in pyr_l_bordered:
+        offs_np.append(acc)
+        strides_np.append(p.shape[1])
+        hs_np.append(p.shape[0])
+        ws_np.append(p.shape[1])
+        acc += p.shape[0] * p.shape[1]
+    offs = jnp.asarray(offs_np, jnp.int32)
+    strides = jnp.asarray(strides_np, jnp.int32)
+    hs = jnp.asarray(hs_np, jnp.int32)
+    ws = jnp.asarray(ws_np, jnp.int32)
 
-        def make_branch(bl, br):
-            def branch():
-                il = jax.lax.dynamic_slice(
-                    bl, (vL - w + border, uL - w + border), (11, 11)
-                ).astype(jnp.int32)
-                ir = jax.lax.dynamic_slice(
-                    br, (vL - w + border, uR0 - L - w + border), (11, 11 + 2 * L)
-                ).astype(jnp.int32)
-                return il, ir
+    lvl = jnp.clip(octave_l, 0, len(scale_factors) - 1)
+    inv = inv_scales[lvl]
+    uL = jnp.round(xy_l[:, 0] * inv).astype(jnp.int32)
+    vL = jnp.round(xy_l[:, 1] * inv).astype(jnp.int32)
+    uR0 = jnp.round(xy_r[best_idx, 0] * inv).astype(jnp.int32)
 
-            return branch
+    # dynamic_slice clamps start indices into range; replicate with clip
+    v0 = jnp.clip(vL - w + border, 0, hs[lvl] - 11)
+    u0_l = jnp.clip(uL - w + border, 0, ws[lvl] - 11)
+    u0_r = jnp.clip(uR0 - L - w + border, 0, ws[lvl] - (11 + 2 * L))
 
-        il, ir = jax.lax.switch(
-            lvl,
-            [make_branch(bl, br) for bl, br in zip(pyr_l_bordered, pyr_r_bordered)],
-        )
-        il = il - il[w, w]
-        sads = []
-        for inc in range(2 * L + 1):
-            win = jax.lax.dynamic_slice(ir, (0, inc), (11, 11))
-            win = win - win[w, w]
-            sads.append(jnp.sum(jnp.abs(il - win)))
-        sads = jnp.stack(sads).astype(jnp.float32)  # (11,)
-        best_inc = jnp.argmin(sads)
-        interior = (best_inc > 0) & (best_inc < 2 * L)
-        bi = jnp.clip(best_inc, 1, 2 * L - 1)
-        d1, d2, d3 = sads[bi - 1], sads[bi], sads[bi + 1]
-        denom = 2.0 * (d1 + d3 - 2.0 * d2)
-        delta = jnp.where(jnp.abs(denom) > 1e-9, (d1 - d3) / denom, 2.0)
-        delta_ok = (delta >= -1.0) & (delta <= 1.0)
-        best_u_r = scales[lvl] * (
-            uR0.astype(jnp.float32) + (bi - L).astype(jnp.float32) + delta
-        )
-        return best_u_r, sads[bi], interior & delta_ok
-
-    u_r, sad, ref_ok = jax.vmap(refine)(jnp.arange(NL))
+    dy = jnp.arange(11, dtype=jnp.int32)
+    dxl = jnp.arange(11, dtype=jnp.int32)
+    dxr = jnp.arange(11 + 2 * L, dtype=jnp.int32)
+    base = offs[lvl][:, None, None]
+    stride = strides[lvl][:, None, None]
+    idx_l = base + (v0[:, None, None] + dy[None, :, None]) * stride \
+        + (u0_l[:, None, None] + dxl[None, None, :])
+    idx_r = base + (v0[:, None, None] + dy[None, :, None]) * stride \
+        + (u0_r[:, None, None] + dxr[None, None, :])
+    il = flat_l[idx_l].astype(jnp.int32)          # (NL,11,11)
+    ir = flat_r[idx_r].astype(jnp.int32)          # (NL,11,21)
+    il = il - il[:, w:w + 1, w:w + 1]
+    sads = []
+    for inc in range(2 * L + 1):
+        win = ir[:, :, inc:inc + 11]
+        win = win - win[:, w:w + 1, w:w + 1]
+        sads.append(jnp.sum(jnp.abs(il - win), axis=(1, 2)))
+    sads = jnp.stack(sads, -1).astype(jnp.float32)     # (NL,11)
+    best_inc = jnp.argmin(sads, axis=-1)
+    interior = (best_inc > 0) & (best_inc < 2 * L)
+    bi = jnp.clip(best_inc, 1, 2 * L - 1)
+    take = lambda a, i: jnp.take_along_axis(a, i[:, None], 1)[:, 0]
+    d1 = take(sads, bi - 1)
+    d2 = take(sads, bi)
+    d3 = take(sads, bi + 1)
+    denom = 2.0 * (d1 + d3 - 2.0 * d2)
+    delta = jnp.where(jnp.abs(denom) > 1e-9, (d1 - d3) / denom, 2.0)
+    delta_ok = (delta >= -1.0) & (delta <= 1.0)
+    u_r = scales[lvl] * (
+        uR0.astype(jnp.float32) + (bi - L).astype(jnp.float32) + delta
+    )
+    sad = d2
+    ref_ok = interior & delta_ok
     disparity = xy_l[:, 0] - u_r
     disp_in = (disparity >= minD) & (disparity < maxD)
     # clamp tiny disparities like the reference
