@@ -139,6 +139,7 @@ def main():
 
     extra = _full_slam_bench()
     extra.update(_stereo_bench())
+    extra.update(_vi_bench())
     extra.update(_loop_bench())
     extra.update(_scaling_bench())
 
@@ -320,6 +321,67 @@ def _stereo_bench():
         }
     except Exception as e:  # pragma: no cover
         return {"stereo_bench_error": str(e)[:200]}
+
+
+def _vi_bench():
+    """Visual-inertial whole-system fps + metric-scale recovery on the
+    synthetic VI sequence (the staged IMU init runs legacy; once
+    gravity/scale resolve, frames ride the fused inertial one-program
+    path: IMU prediction + in-program joint pose-inertial optimization
+    with the marginalization-prior chain)."""
+    try:
+        import cv2
+        import numpy as np
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests"))
+        import test_vi_e2e as T
+        from test_slam_e2e import umeyama_align
+
+        from extractorb_tpu.config import SLAMConfig, TrackingConfig
+        from extractorb_tpu.slam.system import System
+
+        luna = cv2.imread("/root/reference/pic/luna.jpg", 0)
+        tex = cv2.resize(luna, (1024, 1024))
+        n_frames = 40
+        frames, poses = T.render_vi_sequence(tex, n_frames=n_frames)
+        base = T._vi_cfg()
+
+        def run():
+            cfg = SLAMConfig(
+                orb=base.orb, camera=base.camera, imu=base.imu,
+                tracking=TrackingConfig(max_frames=3, pipeline_depth=3),
+                sensor="imu-monocular",
+            )
+            s = System(cfg)
+            t0 = time.perf_counter()
+            for k, img in enumerate(frames):
+                ts = k / T.FPS
+                imu = T._imu_window((k - 1) / T.FPS, ts) if k else None
+                s.track_monocular(img, ts, imu=imu)
+            s.flush()
+            return s, time.perf_counter() - t0
+
+        run()
+        s, dt = run()
+        s2, dt2 = run()     # best-of-2 (tunnel latency variance)
+        if dt2 < dt:
+            s, dt = s2, dt2
+        traj = s.tracker.final_trajectory()
+        est = np.array([-R.T @ t for _, R, t in traj])
+        gt = np.array([
+            -T._pose(ts)[0].T @ T._pose(ts)[1] for ts, _, _ in traj
+        ])
+        aligned, scale = umeyama_align(est, gt, return_scale=True)
+        ate = float(np.sqrt(((aligned - gt) ** 2).sum(-1).mean()))
+        return {
+            "slam_fps_vi": round(n_frames / dt, 2),
+            "ate_vi_m": round(ate, 4),
+            "vi_scale_err": round(abs(scale - 1.0), 4),
+            "vi_fused_frames": s.tracker.n_fused_frames,
+        }
+    except Exception as e:  # pragma: no cover
+        return {"vi_bench_error": str(e)[:200]}
 
 
 def _loop_bench():

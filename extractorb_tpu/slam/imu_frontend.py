@@ -112,13 +112,31 @@ class ImuQueue:
         )
 
     def preintegrate(self, t0: float, t1: float,
-                     bias: np.ndarray) -> Optional[pre.Preintegrated]:
+                     bias: np.ndarray,
+                     host: bool = False) -> Optional[pre.Preintegrated]:
         """Integrate measurements spanning (t0, t1]; returns None when no
-        samples cover the interval."""
+        samples cover the interval.  host=True fetches the result pytree
+        with one packed round trip (for host-side consumers)."""
         win = self.raw_window(t0, t1)
         if win is None:
             return None
+        if host:
+            return integrate_raw_host(win, bias, self.calib)
         return integrate_raw(win, bias, self.calib)
+
+
+def integrate_raw_host(meas, bias, calib: ImuCalib) -> pre.Preintegrated:
+    """integrate_raw + ONE packed fetch of the whole result pytree.
+
+    The host-side consumers (legacy tracking, the IMU init stages,
+    stack_chain) read every field with np.asarray; on a tunneled
+    backend each device-array field costs a full round trip, and a
+    Preintegrated has 11 of them — measured 41 s of a 47 s VI run spent
+    in per-field fetches before this existed.  The fused tracking path
+    keeps the device pytree (integrate_raw) and never fetches."""
+    from ..utils.packed_fetch import pack_fetch
+
+    return pack_fetch(integrate_raw(meas, bias, calib))
 
 
 def integrate_raw(meas, bias, calib: ImuCalib) -> pre.Preintegrated:
@@ -161,12 +179,18 @@ def predict_state(Rwb1, twb1, v1, bias, preint: pre.Preintegrated):
     """Reference Tracking::PredictStateIMU (src/Tracking.cc:1230):
     propagate the body state through a preintegrated delta under
     gravity."""
+    from ..utils.packed_fetch import pack_fetch
+
     g = np.array([0.0, 0.0, -GRAVITY], np.float32)
     b = jnp.asarray(bias, dtype=jnp.float32)
     dt = float(preint.dT)
-    dR = np.asarray(pre.delta_rotation(preint, b))
-    dV = np.asarray(pre.delta_velocity(preint, b))
-    dP = np.asarray(pre.delta_position(preint, b))
+    # one packed fetch for all three bias-corrected deltas (three
+    # separate np.asarray calls are three tunnel round trips)
+    dR, dV, dP = pack_fetch((
+        pre.delta_rotation(preint, b),
+        pre.delta_velocity(preint, b),
+        pre.delta_position(preint, b),
+    ))
     Rwb2 = Rwb1 @ dR
     v2 = v1 + g * dt + Rwb1 @ dV
     twb2 = twb1 + v1 * dt + 0.5 * g * dt * dt + Rwb1 @ dP
@@ -247,7 +271,7 @@ def initialize_imu(
                 meas = merge_measurements(meas, m)
             if not ok_chain:
                 break
-            sub_preints.append(integrate_raw(
+            sub_preints.append(integrate_raw_host(
                 meas, np.zeros(6, np.float32), calib
             ))
             sub_valids.append(True)

@@ -824,7 +824,7 @@ class LocalMapper:
                     else np.zeros(6, np.float32)
                 )
                 if succ.imu_meas is not None:
-                    succ.preint = imu_frontend.integrate_raw(
+                    succ.preint = imu_frontend.integrate_raw_host(
                         succ.imu_meas, bias, self.imu_calib
                     )
         # spanning-tree surgery: reparent children to this KF's parent

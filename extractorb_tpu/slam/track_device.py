@@ -107,6 +107,12 @@ class FusedOut(NamedTuple):
     depth: jnp.ndarray = None     # (N,) metric depth or -1
     n_close_tracked: jnp.ndarray = None    # () int32 close & associated
     n_close_untracked: jnp.ndarray = None  # () int32 close & free
+    # inertial channels (body state + next ConstraintPoseImu); zeros for
+    # visual-only programs
+    v: jnp.ndarray = None         # (3,) body velocity in world
+    bg: jnp.ndarray = None        # (3,) gyro bias
+    ba: jnp.ndarray = None        # (3,) acc bias
+    H15: jnp.ndarray = None       # (15,15) marginal info for the chain
 
 
 class TrackStep:
@@ -123,7 +129,8 @@ class TrackStep:
     def __init__(self, cam_cfg, orb_cfg: ORBConfig, img_shape: Tuple[int, int],
                  map_cap: int, local_cap: int,
                  stereo_bf: float = 0.0, baseline: float = 0.0,
-                 th_depth: float = 0.0, depth_mode: str = "stereo"):
+                 th_depth: float = 0.0, depth_mode: str = "stereo",
+                 inertial: bool = False):
         self.cam_cfg = cam_cfg
         self.orb_cfg = orb_cfg
         self.img_shape = img_shape
@@ -134,6 +141,11 @@ class TrackStep:
         # reference ComputeStereoFromRGBD, Frame.cc:994)
         self.depth_mode = depth_mode if stereo_bf > 0.0 else "none"
         self.stereo = self.depth_mode != "none"
+        # inertial: IMU-predicted motion + in-program joint pose-
+        # inertial optimization with the marginalization-prior chain
+        # (reference TrackWithMotionModel's PredictStateIMU +
+        # PoseInertialOptimizationLastFrame, Tracking.cc:2450/:2574)
+        self.inertial = inertial
         self.bf = float(stereo_bf)
         self.baseline = float(baseline)
         self.th_depth = float(th_depth)
@@ -170,6 +182,7 @@ class TrackStep:
         R_last, t_last,          # previous frame pose (device chainable)
         R_prev, t_prev,          # frame before that (for the velocity)
         img_r=None,              # (H,W) uint8 right image (stereo only)
+        imu=None,                # inertial inputs (see _step body) or None
     ) -> FusedOut:
         N = self.capacity
         CAP = self.map_cap
@@ -179,11 +192,32 @@ class TrackStep:
         # Tracking.cc:2437): T_pred = (T_last T_prev^-1) T_last.  Taking
         # the two poses as inputs (instead of a host-computed prediction)
         # lets consecutive frames chain device-to-device with no host
-        # round trip between dispatches.
-        Rv = R_last @ R_prev.T
-        tv = t_last - Rv @ t_prev
-        R_pred = Rv @ R_last
-        t_pred = Rv @ t_last + tv
+        # round trip between dispatches.  Inertial runs predict through
+        # the preintegrated IMU delta instead (PredictStateIMU,
+        # Tracking.cc:1230).
+        if self.inertial:
+            from ..imu import preintegration as pre
+            from ..solver.inertial import GRAVITY
+
+            preint, v_last, bg_last, ba_last, prior_H, Rcb, tcb = imu
+            gvec = jnp.asarray([0.0, 0.0, -GRAVITY], jnp.float32)
+            Rwb1 = R_last.T @ Rcb
+            twb1 = R_last.T @ (tcb - t_last)
+            b = jnp.concatenate([bg_last, ba_last])
+            dRb = pre.delta_rotation(preint, b)
+            dVb = pre.delta_velocity(preint, b)
+            dPb = pre.delta_position(preint, b)
+            dt = preint.dT
+            Rwb2 = Rwb1 @ dRb
+            v_pred = v_last + gvec * dt + Rwb1 @ dVb
+            twb2 = twb1 + v_last * dt + 0.5 * gvec * dt * dt + Rwb1 @ dPb
+            R_pred = Rcb @ Rwb2.T
+            t_pred = tcb - R_pred @ twb2
+        else:
+            Rv = R_last @ R_prev.T
+            tv = t_last - Rv @ t_prev
+            R_pred = Rv @ R_last
+            t_pred = Rv @ t_last + tv
 
         feats = self.extractor._extract(img, self.capacity)
         if self.has_dist:
@@ -323,32 +357,67 @@ class TrackStep:
             jnp.where(m2 >= 0, lm_ids, -1), mode="drop"
         )
 
-        # ---- PoseOptimization #2 (reference Tracking.cc:2554)
+        # ---- PoseOptimization #2 (reference Tracking.cc:2554); with
+        # IMU, the joint pose-inertial optimization against the chained
+        # previous state + its marginalization prior (reference
+        # PoseInertialOptimizationLastFrame, :2574), producing this
+        # frame's body state and the next prior in-program
         pts2 = map_pos[jnp.clip(kp_mp2, 0, CAP - 1)]
         val2 = (kp_mp2 >= 0) & map_valid[jnp.clip(kp_mp2, 0, CAP - 1)]
-        res2 = spo.optimize_pose(
-            R1_, t1_, pts2, xy_un, isig, val2, self.project,
-            bf=self.bf, obs_ur=ur if self.stereo else None,
-        )
-        kp_mp3 = jnp.where(val2 & ~res2.inliers, -1, kp_mp2)
+        if self.inertial:
+            from ..solver import inertial as sin
+
+            Rwb0 = R1_.T @ Rcb
+            twb0 = R1_.T @ (tcb - t1_)
+            vres = sin.optimize_pose_inertial_last_frame(
+                Rwb0, twb0, v_pred, bg_last, ba_last,
+                (Rwb1, twb1, v_last, bg_last, ba_last),
+                preint,
+                pts2, xy_un, isig, val2,
+                Rcb, tcb, self.project,
+                prior=(prior_H, (Rwb1, twb1, v_last, bg_last, ba_last)),
+            )
+            R2o = Rcb @ vres.Rwb.T
+            t2o = tcb - R2o @ vres.twb
+            res2_inl = vres.inliers
+            res2_n = vres.n_inliers
+            v_out, bg_out, ba_out, H_out = (
+                vres.v, vres.bg, vres.ba, vres.H)
+        else:
+            res2 = spo.optimize_pose(
+                R1_, t1_, pts2, xy_un, isig, val2, self.project,
+                bf=self.bf, obs_ur=ur if self.stereo else None,
+            )
+            R2o, t2o = res2.R, res2.t
+            res2_inl = res2.inliers
+            res2_n = res2.n_inliers
+            v_out = jnp.zeros(3, jnp.float32)
+            bg_out = jnp.zeros(3, jnp.float32)
+            ba_out = jnp.zeros(3, jnp.float32)
+            H_out = jnp.zeros((15, 15), jnp.float32)
+        kp_mp3 = jnp.where(val2 & ~res2_inl, -1, kp_mp2)
 
         close = feats.valid & (depth > 0)
         if self.th_depth > 0:
             close = close & (depth < self.th_depth)
         return FusedOut(
-            feats=feats, xy_un=xy_un, R=res2.R, t=res2.t, kp_mp=kp_mp3,
+            feats=feats, xy_un=xy_un, R=R2o, t=t2o, kp_mp=kp_mp3,
             n_match_motion=n_match, n_inl_motion=res1.n_inliers,
-            n_inl_final=jnp.sum(val2 & res2.inliers), lm_searched=lm_searched,
+            n_inl_final=jnp.sum(val2 & res2_inl), lm_searched=lm_searched,
             used_ref=~ok_motion, n_pre=n_pre,
             ur=ur, depth=depth,
             n_close_tracked=jnp.sum((close & (kp_mp3 >= 0)).astype(jnp.int32)),
             n_close_untracked=jnp.sum((close & (kp_mp3 < 0)).astype(jnp.int32)),
+            v=v_out, bg=bg_out, ba=ba_out, H15=H_out,
         )
 
-    def __call__(self, *args, img_r=None) -> FusedOut:
+    def __call__(self, *args, img_r=None, imu=None) -> FusedOut:
+        kw = {}
         if img_r is not None:
-            return self._fn(*args, img_r=img_r)
-        return self._fn(*args)
+            kw["img_r"] = img_r
+        if imu is not None:
+            kw["imu"] = imu
+        return self._fn(*args, **kw)
 
 
 # module-level program cache: a second Tracker/System with the same
@@ -359,14 +428,17 @@ _STEP_CACHE = {}
 def get_track_step(cam_cfg, orb_cfg: ORBConfig, img_shape, map_cap: int,
                    local_cap: int, stereo_bf: float = 0.0,
                    baseline: float = 0.0, th_depth: float = 0.0,
-                   depth_mode: str = "stereo") -> TrackStep:
+                   depth_mode: str = "stereo",
+                   inertial: bool = False) -> TrackStep:
     key = (cam_cfg, orb_cfg, tuple(img_shape), map_cap, local_cap,
-           float(stereo_bf), float(baseline), float(th_depth), depth_mode)
+           float(stereo_bf), float(baseline), float(th_depth), depth_mode,
+           inertial)
     step = _STEP_CACHE.get(key)
     if step is None:
         step = TrackStep(cam_cfg, orb_cfg, tuple(img_shape), map_cap,
                          local_cap, stereo_bf=stereo_bf, baseline=baseline,
-                         th_depth=th_depth, depth_mode=depth_mode)
+                         th_depth=th_depth, depth_mode=depth_mode,
+                         inertial=inertial)
         _STEP_CACHE[key] = step
     return step
 

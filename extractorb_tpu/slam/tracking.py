@@ -390,11 +390,13 @@ class Tracker:
         if not self.inertial or self.last_frame is None:
             return
         frame.preint_frame = self.imu_queue.preintegrate(
-            self.last_frame.timestamp, frame.timestamp, self.cur_bias
+            self.last_frame.timestamp, frame.timestamp, self.cur_bias,
+            host=True,
         )
         if self.last_kf_ts is not None:
             frame.preint_kf = self.imu_queue.preintegrate(
-                self.last_kf_ts, frame.timestamp, self.cur_bias
+                self.last_kf_ts, frame.timestamp, self.cur_bias,
+                host=True,
             )
 
     def _check_timestamps(self, ts: float) -> bool:
@@ -463,12 +465,27 @@ class Tracker:
         differ (the frame after initialisation chains from the 5x init
         extractor's arrays — jit just specialises a second variant)."""
         last = self.last_frame
+        mp = self.atlas.current
+        if self.inertial:
+            # the inertial fused step (IMU prediction + in-program joint
+            # pose-inertial optimization) engages once gravity/scale are
+            # resolved; the staged-init prefix runs the legacy machinery
+            return (
+                self.cfg.tracking.use_fused
+                and self.sensor == "imu-monocular"
+                and self.cfg.orb.octree == "device"
+                and self.state == TrackState.OK
+                and mp.imu_initialized
+                and last is not None
+                and (last.R is not None or bool(self._pipe))
+                and last.un_dev is not None
+                and (last.v is not None or bool(self._pipe))
+            )
         return (
             self.cfg.tracking.use_fused
             and (self.sensor == "monocular"
                  or (self.sensor == "stereo" and self.cam_r is None)
                  or self.sensor == "rgbd")
-            and not self.inertial
             and self.cfg.orb.octree == "device"  # fused step extracts on device
             and self.state == TrackState.OK
             and self.velocity is not None
@@ -512,6 +529,40 @@ class Tracker:
             self._fused_local = (key, blk)
         blk = self._fused_local[1]
 
+        # inertial inputs: preintegrate (last frame, this frame] with the
+        # current bias (host window slice + one async device scan, no
+        # fetch); chained body state + prior ride from the pipe tail's
+        # device outputs
+        imu_in = None
+        if self.inertial:
+            last = self.last_frame
+            preint = self.imu_queue.preintegrate(
+                last.timestamp if not self._pipe else self._pipe[-1].ts,
+                ts, self.cur_bias,
+            )
+            if preint is None:
+                return None  # no IMU coverage: legacy path
+            calib = self.imu_calib
+            if self._pipe:
+                tail = self._pipe[-1].out
+                v_in, bg_in, ba_in, H_in = (
+                    tail.v, tail.bg, tail.ba, tail.H15)
+            else:
+                v_in = jnp.asarray(np.asarray(last.v, np.float32))
+                bg_in = jnp.asarray(np.asarray(
+                    last.bg if last.bg is not None else self.cur_bias[:3],
+                    np.float32))
+                ba_in = jnp.asarray(np.asarray(
+                    last.ba if last.ba is not None else self.cur_bias[3:],
+                    np.float32))
+                mh = self._marg_prior
+                if mh is not None and mh[0] == last.frame_id:
+                    H_in = mh[2][0]
+                else:
+                    H_in = jnp.eye(15, dtype=jnp.float32) * 1e4
+            imu_in = (preint, v_in, bg_in, ba_in, H_in,
+                      jnp.asarray(calib.Rcb), jnp.asarray(calib.tcb))
+
         step = td.get_track_step(
             self.cfg.camera, self.cfg.orb, img.shape, self._mirror.cap,
             self._fused_local_cap,
@@ -519,6 +570,7 @@ class Tracker:
             baseline=self.baseline if img_r is not None else 0.0,
             th_depth=self.th_depth if img_r is not None else 0.0,
             depth_mode=depth_mode,
+            inertial=self.inertial,
         )
         ref_desc, ref_valid, ref_kp = self._ref_block(mp)
         last = self.last_frame
@@ -539,7 +591,10 @@ class Tracker:
             R1, t1 = last.R, last.t
             R_last_in = jnp.asarray(R1)
             t_last_in = jnp.asarray(t1)
-            if self._prev_pose is not None \
+            if self.inertial:
+                # IMU prediction ignores the virtual-velocity inputs
+                R_prev_in, t_prev_in = R_last_in, t_last_in
+            elif self._prev_pose is not None \
                     and self._prev_pose[0] == last.frame_id:
                 # actual predecessor pose: the in-program velocity
                 # R_last @ R_prev^T then matches the host formula
@@ -570,6 +625,7 @@ class Tracker:
             ref_desc, ref_valid, ref_kp,
             R_last_in, t_last_in, R_prev_in, t_prev_in,
             img_r=None if img_r is None else jnp.asarray(img_r),
+            imu=imu_in,
         )
         frame = Frame(
             frame_id=self._next_frame_id, timestamp=ts, feats=out.feats,
@@ -661,7 +717,8 @@ class Tracker:
             (e.out.R, e.out.t, e.out.n_match_motion, e.out.n_inl_motion,
              e.out.n_inl_final, e.out.used_ref, e.out.n_pre,
              e.out.kp_mp, e.out.lm_searched,
-             e.out.n_close_tracked, e.out.n_close_untracked)
+             e.out.n_close_tracked, e.out.n_close_untracked,
+             e.out.v, e.out.bg, e.out.ba)
             for e in pending
         ]
         n_gate = len(payload)
@@ -701,14 +758,16 @@ class Tracker:
         fetched = fetched[:n_gate]
         kf_created = False
         for i, (e, (R, t, n_match, n1, n2, used_ref, n_pre,
-                    kp_mp_h, lm_searched, n_ct, n_cu)) in enumerate(
+                    kp_mp_h, lm_searched, n_ct, n_cu,
+                    v_h, bg_h, ba_h)) in enumerate(
                 zip(pending, fetched)):
             frame = e.frame
             # motion-model gates (reference Tracking.cc:2475-2528) or
             # the in-program TrackReferenceKeyFrame fallback's
             # (>=10 map-point inliers, :2308); TrackLocalMap then needs
             # >=30 final inliers either way (:2612)
-            ok = int(n2) >= 30 and (
+            min_final = 15 if self.inertial else 30
+            ok = int(n2) >= min_final and (
                 (int(n_match) >= 20 and int(n1) >= 10)
                 or (bool(used_ref) and int(n_pre) >= 10)
             )
@@ -719,6 +778,12 @@ class Tracker:
                 return
             frame.R = np.asarray(R).copy()
             frame.t = np.asarray(t).copy()
+            if self.inertial:
+                frame.v = np.asarray(v_h).copy()
+                frame.bg = np.asarray(bg_h).copy()
+                frame.ba = np.asarray(ba_h).copy()
+                self.cur_bias = np.concatenate(
+                    [frame.bg, frame.ba]).astype(np.float32)
             self.state = TrackState.OK
             self._frames_lost = 0
             prev = e.prev_frame
@@ -758,11 +823,13 @@ class Tracker:
                 )
                 frame.set_host(vals)
                 self._create_keyframe(frame)
-                if self.velocity is None and \
-                        (i + 1 < len(pending) or self._pipe):
-                    # a loop closure / merge rewrote the map poses: the
-                    # remaining chained frames were predicted in the old
-                    # frame of reference
+                stale = self.velocity is None or \
+                    getattr(self, "_vi_stage_fired", False)
+                self._vi_stage_fired = False
+                if stale and (i + 1 < len(pending) or self._pipe):
+                    # a loop closure / merge / IMU-init stage rewrote
+                    # the map poses: the remaining chained frames were
+                    # predicted in the old frame of reference
                     rest = pending[i + 1:] + self._pipe
                     self._pipe = []
                     self._replay(rest)
@@ -791,6 +858,7 @@ class Tracker:
             f.R = f.t = None
             f.kp_mp[:] = INVALID
             f.kp_mp_dirty = True
+            self._preintegrate(f)
             self._track_existing(f, e.ts)
 
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray, ts: float,
@@ -1851,7 +1919,8 @@ class Tracker:
                 self.last_kf_ts, frame.timestamp
             )
             kf.preint = frame.preint_kf or (
-                None if kf.imu_meas is None else imu_frontend.integrate_raw(
+                None if kf.imu_meas is None
+                else imu_frontend.integrate_raw_host(
                     kf.imu_meas, self.cur_bias, self.imu_calib
                 )
             )
@@ -1932,6 +2001,7 @@ class Tracker:
                 np.float32
             )
             self.velocity = None
+        return bool(done)
 
     def _create_keyframe(self, frame: Frame):
         mp = self.atlas.current
@@ -1996,8 +2066,9 @@ class Tracker:
                  or self.sensor == "rgbd")
         )
         self.local_mapper.process_keyframe(mp, kf.kid, defer_fetch=defer)
-        # staged IMU initialisation / refinement
-        self._imu_init_stage(frame)
+        # staged IMU initialisation / refinement; a fired stage
+        # rotated/rescaled the map under any in-flight pipelined frames
+        self._vi_stage_fired = self._imu_init_stage(frame)
         # loop closing (enabled when a vocabulary was provided)
         lc = self.loop_closer.process_keyframe(mp, kf.kid, atlas=self.atlas)
         if lc:

@@ -711,12 +711,19 @@ def optimize_pose_inertial_last_frame(
     Lb = _info_sqrt(preint.C[9:, 9:])
     if prior is not None:
         Hp, prior_state = prior
-        Lp = _info_sqrt(Hp)
     else:
         # no marginal info yet: anchor the previous state softly
         Hp = jnp.eye(15, dtype=dtype) * 1e4
         prior_state = prev_state
-        Lp = _info_sqrt(Hp)
+    # square root of the INFORMATION matrix (Lp Lp^T = Hp) via eigh:
+    # the marginalized H can be slightly indefinite in f32 (clamp the
+    # spectrum at 0) and a Cholesky NaN would poison the whole chain;
+    # the upper cap keeps a runaway recursive prior from freezing the
+    # state outright
+    Hp = 0.5 * (Hp + Hp.T)
+    w_e, V_e = jnp.linalg.eigh(Hp)
+    w_e = jnp.clip(w_e, 0.0, 1e7)
+    Lp = V_e * jnp.sqrt(w_e)[None, :]
     Rpr, tpr, vpr, bgpr, bapr = prior_state
 
     def split(d30):

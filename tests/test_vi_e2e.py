@@ -182,3 +182,41 @@ def test_vi_session_resume(vi_scene, tmp_path):
         states.append(tr2.track(frames[k], ts,
                                 imu=_imu_window((k - 1) / FPS, ts)))
     assert all(s == TrackState.OK for s in states), states
+
+
+@pytest.mark.slow
+def test_vi_fused_pipelined_engages(vi_scene):
+    """After gravity/scale resolve, inertial tracking must ride the
+    fused one-program path (IMU prediction + in-program joint
+    pose-inertial optimization with the prior chain) with pipelined
+    confirmation — and keep metric scale."""
+    frames, poses = vi_scene
+    base = _vi_cfg()
+    cfg = SLAMConfig(
+        orb=base.orb, camera=base.camera, imu=base.imu,
+        tracking=TrackingConfig(max_frames=3, pipeline_depth=3),
+        sensor="imu-monocular",
+    )
+    sys_ = System(cfg)
+    states = []
+    for k, img in enumerate(frames):
+        ts = k / FPS
+        imu = _imu_window((k - 1) / FPS, ts) if k else None
+        states.append(sys_.track_monocular(img, ts, imu=imu))
+    sys_.flush()
+    assert states[-1] == TrackState.OK, states
+    mp = sys_.tracker.atlas.current
+    assert mp.imu_initialized
+    # the fused VI path must have processed a meaningful share of the
+    # post-init frames
+    assert sys_.tracker.n_fused_frames >= 8, sys_.tracker.n_fused_frames
+
+    traj = sys_.tracker.final_trajectory()
+    est = np.array([-R.T @ t for _, R, t in traj])
+    gt = np.array([
+        -_pose(ts)[0].T @ _pose(ts)[1] for ts, _, _ in traj
+    ])
+    aligned, s = umeyama_align(est, gt, return_scale=True)
+    ate = float(np.sqrt(((aligned - gt) ** 2).sum(-1).mean()))
+    assert abs(s - 1.0) < 0.35, s
+    assert ate < 0.25, ate
